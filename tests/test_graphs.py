@@ -1,0 +1,152 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zeroshape_tpu.config import Config
+from zeroshape_tpu.models import graph_depth, graph_shape
+from zeroshape_tpu.models.graph_shape import ShapeGraph, intr_param2mtx
+from zeroshape_tpu.models.graph_depth import DepthGraph
+
+
+def tiny_opt():
+    return Config(
+        {
+            "H": 64,
+            "W": 64,
+            "arch": {
+                "num_heads": 8,
+                "latent_dim": 64,
+                "win_size": 16,
+                "depth": {"encoder": "resnet", "n_blocks": 2, "dsp": 1},
+                "rgb": {"encoder": None, "n_blocks": 2},
+                "impl": {
+                    "n_channels": 64,
+                    "att_blocks": 2,
+                    "mlp_ratio": 2.0,
+                    "posenc_perlayer": False,
+                    "mlp_layers": 4,
+                    "posenc_3D": 0,
+                    "skip_in": [2],
+                },
+            },
+            "training": {
+                "n_sdf_points": 32,
+                "shape_loss": {"impt_weight": 5, "impt_thres": 0.01},
+                "depth_loss": {"grad_reg": 0.1, "depth_inv": True, "mask_shrink": False},
+            },
+            "loss_weight": {"shape": 1, "depth": None, "intr": None},
+        }
+    )
+
+
+def tiny_batch(B=2, H=64, n_pts=32, seed=0):
+    rng = np.random.default_rng(seed)
+    f = 1.3875 * H
+    K = np.array([[f, 0, H / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    return {
+        "rgb_input_map": jnp.asarray(rng.uniform(0, 1, (B, H, H, 3)), jnp.float32),
+        "mask_input_map": jnp.asarray(
+            (rng.uniform(size=(B, H, H, 1)) > 0.3).astype(np.float32)
+        ),
+        "depth_input_map": jnp.asarray(rng.uniform(0.4, 1, (B, H, H, 1)), jnp.float32),
+        "intr": jnp.tile(jnp.asarray(K), (B, 1, 1)),
+        "pose_gt": jnp.tile(
+            jnp.concatenate([jnp.eye(3), jnp.asarray([[0.0], [0.0], [1.78]])], axis=1)[None],
+            (B, 1, 1),
+        ),
+        "gt_sample_points": jnp.asarray(rng.normal(size=(B, n_pts, 3)) * 0.3, jnp.float32),
+        "gt_sample_sdf": jnp.asarray(rng.normal(size=(B, n_pts)) * 0.05, jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def shape_setup():
+    opt = tiny_opt()
+    model = ShapeGraph.from_opt(opt)
+    batch = tiny_batch()
+    vars_ = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+    return opt, model, vars_, batch
+
+
+def test_intr_param2mtx():
+    p = jnp.zeros((2, 3))
+    K = np.asarray(intr_param2mtx(p, 224, 224))
+    assert np.allclose(K[0, 0, 0], 1.3875 * 224)
+    assert np.allclose(K[0, 0, 2], 112.0)
+    assert np.allclose(K[0, 2, 2], 1.0)
+    # extreme params stay bounded
+    p2 = jnp.asarray([[100.0, -100.0, 100.0]])
+    K2 = np.asarray(intr_param2mtx(p2, 224, 224))
+    assert K2[0, 0, 0] <= 4 * 1.3875 * 224 + 1e-3
+    assert 0 - 1e-3 <= K2[0, 0, 2] <= 224 + 1e-3
+
+
+def test_shape_graph_forward_shapes(shape_setup):
+    opt, model, vars_, batch = shape_setup
+    out, mutated = model.apply(
+        vars_, batch, train=False, mutable=["batch_stats"]
+    )
+    B, H = 2, 64
+    assert out["depth_pred"].shape == (B, H, H, 1)
+    assert out["intr_pred"].shape == (B, 3, 3)
+    assert out["seen_points"].shape == (B, H * H, 3)
+    assert out["latent_depth"].shape == (B, 17, 64)
+    assert out["pred_sample_occ"].shape == (B, 32)
+    assert out["gt_points_cam"].shape == (B, 32, 3)
+    assert out["gt_surf_points"].shape == (B, 32, 3)
+    for leaf in jax.tree.leaves(out):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_shape_graph_loss_and_grads(shape_setup):
+    opt, model, vars_, batch = shape_setup
+    params = vars_["params"]
+    other = {k: v for k, v in vars_.items() if k != "params"}
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, **other},
+            batch,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        loss = graph_shape.compute_loss(opt, batch, out, training=True)
+        return loss["shape"]
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    # implicit decoder must receive gradient
+    g = jax.tree.leaves(grads["impl_network"])
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in g)
+    # coordinate encoder must receive gradient through the latents
+    g2 = jax.tree.leaves(grads["coord_encoder"])
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in g2)
+
+
+def test_depth_graph_forward_and_loss():
+    opt = tiny_opt()
+    opt_d = opt.unfrozen_copy()
+    opt_d.loss_weight = Config({"depth": 1, "intr": 10})
+    model = DepthGraph.from_opt(opt_d)
+    batch = tiny_batch()
+    vars_ = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    out, _ = model.apply(vars_, batch, train=False, mutable=["batch_stats"])
+    assert out["depth_pred"].shape == (2, 64, 64, 1)
+    assert out["seen_points_pred"].shape == (2, 64 * 64, 3)
+    loss = graph_depth.compute_loss(opt_d, batch, out, training=True)
+    assert set(loss) == {"depth", "intr"}
+    assert all(np.isfinite(float(v)) for v in loss.values())
+
+
+def test_shape_graph_eval_without_gt(shape_setup):
+    opt, model, vars_, batch = shape_setup
+    eval_batch = {k: v for k, v in batch.items() if not k.startswith("gt_")}
+    out, _ = model.apply(vars_, eval_batch, train=False, mutable=["batch_stats"])
+    assert "pred_sample_occ" not in out
+    assert out["latent_depth"].shape == (2, 17, 64)

@@ -1,0 +1,211 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zeroshape_tpu.metrics import eval3d
+from zeroshape_tpu.ops import chamfer
+from zeroshape_tpu.ops import marching_cubes as mc
+from zeroshape_tpu.ops.mc_tables import EDGES, FACES, MAX_TRIS, N_TRI, TRI_TABLE
+
+
+# ---------------------------------------------------------------------------
+# Chamfer
+# ---------------------------------------------------------------------------
+
+def brute_nn(a, b):
+    d = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return d.min(1), d.argmin(1)
+
+
+def test_chamfer_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    x1 = rng.normal(size=(2, 100, 3)).astype(np.float32)
+    x2 = rng.normal(size=(2, 130, 3)).astype(np.float32)
+    d1, d2, i1, i2 = chamfer.chamfer_squared(jnp.asarray(x1), jnp.asarray(x2), False)
+    for b in range(2):
+        rd1, ri1 = brute_nn(x1[b], x2[b])
+        rd2, ri2 = brute_nn(x2[b], x1[b])
+        np.testing.assert_allclose(np.asarray(d1)[b], rd1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d2)[b], rd2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1)[b], ri1)
+        np.testing.assert_array_equal(np.asarray(i2)[b], ri2)
+
+
+def test_chamfer_gradient():
+    rng = np.random.default_rng(1)
+    x1 = jnp.asarray(rng.normal(size=(1, 20, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(1, 25, 3)), jnp.float32)
+
+    def loss(a, b):
+        d1, d2, _, _ = chamfer.chamfer_squared(a, b, False)
+        return d1.sum() + d2.sum()
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(x1, x2)
+    # numeric check on a few coordinates
+    eps = 1e-3
+    for (i, j) in [(3, 0), (7, 2)]:
+        xp = x1.at[0, i, j].add(eps)
+        xm = x1.at[0, i, j].add(-eps)
+        num = (loss(xp, x2) - loss(xm, x2)) / (2 * eps)
+        np.testing.assert_allclose(float(g1[0, i, j]), float(num), rtol=2e-2, atol=1e-3)
+
+
+def test_chamfer_identical_clouds_zero():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 50, 3)), jnp.float32)
+    d1, d2, i1, i2 = chamfer.chamfer_squared(x, x, False)
+    assert float(jnp.max(d1)) < 1e-9
+    np.testing.assert_array_equal(np.asarray(i1)[0], np.arange(50))
+
+
+# ---------------------------------------------------------------------------
+# Marching cubes tables: structural invariants
+# ---------------------------------------------------------------------------
+
+def test_mc_table_boundary_edges_match_face_segments():
+    """Fan triangulation boundary must consist of face-isoline segments only,
+    each used exactly once -> watertight across cubes."""
+    from zeroshape_tpu.ops import mc_tables
+
+    for case in range(256):
+        inside = [(case >> i) & 1 == 1 for i in range(8)]
+        segs = []
+        for face in mc_tables.FACES:
+            segs.extend(mc_tables._face_segments(face, inside))
+        seg_set = {frozenset(s) for s in segs}
+        # collect triangle edges; interior edges appear twice, boundary once
+        from collections import Counter
+
+        cnt = Counter()
+        for tri in TRI_TABLE[case, : N_TRI[case]]:
+            a, b, c = int(tri[0]), int(tri[1]), int(tri[2])
+            for e in [(a, b), (b, c), (c, a)]:
+                cnt[frozenset(e)] += 1
+        boundary = {e for e, c in cnt.items() if c == 1}
+        assert boundary == seg_set, f"case {case}"
+        assert all(c <= 2 for c in cnt.values()), f"case {case}: edge used >2x"
+
+
+def test_mc_complementary_cases_same_geometry():
+    """case and ~case cross the same edges and produce the same patch area."""
+    for case in [1, 17, 63, 105, 150]:
+        comp = 255 - case
+        used = lambda c: sorted(set(TRI_TABLE[c, : N_TRI[c]].reshape(-1)) - {-1})
+        assert used(case) == used(comp)
+
+
+# ---------------------------------------------------------------------------
+# Marching cubes: geometric accuracy on an analytic sphere
+# ---------------------------------------------------------------------------
+
+def sphere_level(S=33, R=0.6):
+    g = np.linspace(-1, 1, S)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt(X**2 + Y**2 + Z**2)
+    # occupancy-style field in [0, 1], 0.5 at the sphere
+    return 1.0 / (1.0 + np.exp((r - R) * 20)), g
+
+
+def test_sample_surface_points_sphere():
+    S = 33
+    level, g = sphere_level(S)
+    pts = mc.sample_surface_points(jnp.asarray(level, jnp.float32), jax.random.PRNGKey(0), 2000)
+    pts = np.asarray(pts)
+    # to world coords: verts/S*(max-min)+min, reference convention
+    world = pts / S * 2.0 - 1.0
+    r = np.linalg.norm(world, axis=1)
+    # radius error bounded by grid resolution effects (+ the /S shrink bias)
+    assert abs(np.median(r) - 0.6) < 0.04, np.median(r)
+    assert r.std() < 0.03
+    # samples cover the sphere (all octants populated)
+    octants = set(map(tuple, (world > 0).astype(int)))
+    assert len(octants) == 8
+
+
+def test_sample_surface_points_empty():
+    level = jnp.zeros((17, 17, 17), jnp.float32)
+    pts = mc.sample_surface_points(level, jax.random.PRNGKey(0), 100)
+    assert np.allclose(np.asarray(pts), 0)
+
+
+def test_marching_cubes_mesh_sphere():
+    S = 33
+    level, _ = sphere_level(S)
+    verts, faces = mc.marching_cubes_mesh(np.asarray(level, np.float32))
+    assert len(verts) > 100 and len(faces) > 100
+    world = verts / S * 2.0 - 1.0
+    r = np.linalg.norm(world, axis=1)
+    assert abs(np.median(r) - 0.6) < 0.04
+    # watertight: every edge shared by exactly 2 faces
+    from collections import Counter
+
+    cnt = Counter()
+    for f in faces:
+        for e in [(f[0], f[1]), (f[1], f[2]), (f[2], f[0])]:
+            cnt[frozenset(e)] += 1
+    counts = np.array(list(cnt.values()))
+    assert (counts == 2).mean() > 0.99, (counts == 2).mean()
+
+
+# ---------------------------------------------------------------------------
+# eval3d helpers
+# ---------------------------------------------------------------------------
+
+def test_normalize_pc():
+    rng = np.random.default_rng(3)
+    pc = rng.normal(size=(2, 100, 3)).astype(np.float32) * np.array([2.0, 1.0, 5.0])
+    out = np.asarray(eval3d.normalize_pc(jnp.asarray(pc)))
+    assert np.allclose(out.mean(1), 0, atol=1e-5)
+    for b in range(2):
+        ex = out[b, :, 0].max() - out[b, :, 0].min()
+        ey = out[b, :, 1].max() - out[b, :, 1].min()
+        np.testing.assert_allclose(max(ex, ey), 1.0, rtol=1e-4)
+
+
+def test_fscore_nan_to_zero_and_values():
+    d1 = jnp.asarray([[0.001, 0.02]])
+    d2 = jnp.asarray([[0.5, 0.5]])
+    f = np.asarray(eval3d.compute_fscore(d1, d2, (0.01, 1.0)))
+    # tau=0.01: precision 0.5, recall 0 -> f=0 (0/0 handled)
+    assert f[0, 0] == 0.0
+    # tau=1.0: precision 1, recall 1 -> f=1
+    assert abs(f[0, 1] - 1.0) < 1e-6
+
+
+def test_brute_force_search_recovers_rotation():
+    rng = np.random.default_rng(4)
+    pc = rng.normal(size=(200, 3)).astype(np.float32)
+    # rotate the cloud by a rotation that's in the search set (azim=90deg)
+    from zeroshape_tpu import camera
+
+    R_set = np.asarray(camera.get_rotation_sphere(4, 4, 4))
+    R_true = R_set[7]
+    pc_rot = pc @ R_true.T
+    out = eval3d.brute_force_search(
+        jnp.asarray(pc), jnp.asarray(pc_rot), rot_batch=16, use_pallas=False,
+        rot_samples=(4, 4, 4),
+    )
+    # perfect alignment should be found (same cloud under an in-set rotation)
+    assert float(out["acc"]) < 1e-3
+    assert float(out["comp"]) < 1e-3
+    assert float(out["f_score"][0]) > 0.99
+
+
+def test_icp_identity_stable():
+    rng = np.random.default_rng(5)
+    pc = jnp.asarray(rng.normal(size=(1, 50, 3)), jnp.float32)
+    out = eval3d.icp(pc, pc, num_iter=3, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pc), atol=1e-4)
+
+
+def test_occupancy_grid_tiling():
+    # decode_fn that scores points by a known function; check tiling integrity
+    def decode_fn(pts):  # [B, T, 3] -> [B, T]
+        return -jnp.linalg.norm(pts, axis=-1) + 0.5
+
+    pts = eval3d.get_dense_3D_grid(8, (-1, 1))  # [729, 3]
+    occ = eval3d.occupancy_grid(decode_fn, pts, batch_size=2, tile_points=100)
+    assert occ.shape == (2, 729)
+    expected = jax.nn.sigmoid(-jnp.linalg.norm(pts, axis=-1) + 0.5)
+    np.testing.assert_allclose(np.asarray(occ[0]), np.asarray(expected), rtol=1e-5)

@@ -101,6 +101,8 @@ def normalize_seen_points(seen_points, mask):
     """
     mask_f = mask.reshape(seen_points.shape[0], seen_points.shape[1])
     mean, scale = valid_norm_fac(seen_points, mask_f)
+    # guard: an (untrained / degenerate) all-zero depth map gives scale 0
+    scale = jnp.maximum(scale, 1e-8)
     out = (seen_points - mean[:, None, :]) / scale[:, None, None]
     out = out * (mask_f > 0).astype(out.dtype)[..., None]
     return out, mean, scale

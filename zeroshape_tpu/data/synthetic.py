@@ -1,0 +1,161 @@
+"""Synthetic training set (Objaverse-LVIS + ShapeNet55 renders).
+
+Mirrors the reference ``data/synthetic.py`` file layout exactly — per-subset
+``lists/{cat}_{split}.list``, ``images_processed/``, ``masks/``, ``depth/``,
+``camera_data/{intr,extr}/``, ``pointclouds/``, ``gt_sdf/`` — producing NHWC
+numpy samples. The GT SDF offset of -0.003 (synthetic.py:123) and the
+10-image-per-category validation cap (synthetic.py:29-31) are preserved.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import PIL.Image
+
+from zeroshape_tpu.data import base, common
+
+
+class SyntheticDataset(base.Dataset):
+    def __init__(self, opt, split="train", load_3D=True):
+        if split == "test":
+            split = "val"
+        super().__init__(opt, split)
+        self.path = os.path.join(opt.data.get("root", "data"), "train_data")
+        self.load_3D = load_3D
+        self.subsets = opt.data.synthetic.subset.split(",")
+        self.category_dict = {}
+        self.category_list = []
+        for subset in self.subsets:
+            lists_dir = os.path.join(self.path, subset, "lists")
+            categories = [
+                name[:-11]
+                for name in sorted(os.listdir(lists_dir))
+                if name.endswith("_train.list")
+            ]
+            self.category_dict[subset] = categories
+            self.category_list += categories
+
+        if split == "val":
+            self.max_imgs = 10
+            self.data_percentage = 1
+        else:
+            self.max_imgs = np.inf
+            self.data_percentage = opt.data.synthetic.get("percentage", 1)
+
+        self.cat2label = {cat: i for i, cat in enumerate(self.category_list)}
+        self.label2cat = list(self.category_list)
+        self.list = self.get_list(opt, split)
+        self.rng = np.random.default_rng(opt.get("seed", 0) or 0)
+
+    def get_list(self, opt, split):
+        data_list = []
+        for subset in self.subsets:
+            for cat in self.category_dict[subset]:
+                list_fname = os.path.join(self.path, subset, "lists", f"{cat}_{split}.list")
+                if not os.path.exists(list_fname):
+                    continue
+                lines = open(list_fname).read().splitlines()
+                lines = lines[: round(self.data_percentage * len(lines))]
+                for i, img_fname in enumerate(lines):
+                    if i >= self.max_imgs:
+                        break
+                    name = ".".join(img_fname.split(".")[:-1])
+                    object_name = name.split("_")[-2]
+                    sample_id = name.split("_")[-1]
+                    data_list.append((subset, cat, object_name, sample_id))
+        return data_list
+
+    def id_filename_mapping(self, opt, outpath):
+        with open(outpath, "w") as outfile:
+            for i, (subset, category, object_name, sample_id) in enumerate(self.list):
+                fname = f"{category}/{category}_{object_name}_{sample_id}"
+                image_fname = f"{self.path}/{subset}/images_processed/{fname}.png"
+                mask_fname = f"{self.path}/{subset}/masks/{fname}.png"
+                pc_name = f"{category}/{category}_{object_name}"
+                pc_fname = f"{self.path}/{subset}/pointclouds/{pc_name}.npy"
+                outfile.write(f"{i} {image_fname} {mask_fname} {pc_fname}\n")
+
+    def _fname(self, subset, category, object_name, sample_id):
+        return f"{category}/{category}_{object_name}_{sample_id}"
+
+    def get_image(self, subset, category, object_name, sample_id):
+        fname = self._fname(subset, category, object_name, sample_id)
+        image = PIL.Image.open(
+            os.path.join(self.path, subset, "images_processed", fname + ".png")
+        ).convert("RGB")
+        return image
+
+    def get_depth(self, subset, category, object_name, sample_id):
+        fname = self._fname(subset, category, object_name, sample_id)
+        depth = np.load(os.path.join(self.path, subset, "depth", fname + ".npy"))
+        depth = depth.astype(np.float32)[..., None]  # [H, W, 1]
+        assert depth.shape[0] == self.opt.H
+        mask = (depth != 0).astype(np.float32)
+        return depth, mask
+
+    def get_camera(self, subset, category, object_name, sample_id):
+        fname = self._fname(subset, category, object_name, sample_id)
+        K = np.load(
+            os.path.join(self.path, subset, "camera_data", "intr", fname + ".npy")
+        ).astype(np.float32)
+        Rt = np.load(
+            os.path.join(self.path, subset, "camera_data", "extr", fname + ".npy")
+        ).astype(np.float32)
+        return K, Rt
+
+    def get_pointcloud(self, subset, category, object_name):
+        pc = np.load(
+            os.path.join(
+                self.path, subset, "pointclouds", f"{category}/{category}_{object_name}.npy"
+            )
+        ).astype(np.float32)
+        return {"points": pc}
+
+    def get_gt_sdf(self, subset, category, object_name):
+        gt = np.load(
+            os.path.join(
+                self.path, subset, "gt_sdf", f"{category}/{category}_{object_name}.npy"
+            ),
+            allow_pickle=True,
+        ).item()
+        pts = gt["sample_pt"].astype(np.float32)
+        sdf = gt["sample_sdf"].astype(np.float32) - 0.003
+        return pts, sdf
+
+    def __getitem__(self, idx):
+        opt = self.opt
+        subset, category, object_name, sample_id = self.list[idx]
+        sample = {"idx": np.int64(idx), "category_label": np.int64(self.cat2label[category])}
+
+        K, Rt = self.get_camera(subset, category, object_name, sample_id)
+        sample["pose_gt"] = common.pose_from_Rt(Rt)
+        sample["intr"] = K
+
+        image = self.get_image(subset, category, object_name, sample_id)
+        depth, mask = self.get_depth(subset, category, object_name, sample_id)
+        if image.size != (opt.W, opt.H):
+            image = image.resize((opt.W, opt.H))
+        sample["rgb_input_map"] = common.to_float_chw_free(image)
+        sample["mask_input_map"] = mask
+        sample["depth_input_map"] = depth
+
+        if not self.load_3D:
+            return sample
+
+        sample["dpc"] = self.get_pointcloud(subset, category, object_name)
+        pts, sdf = self.get_gt_sdf(subset, category, object_name)
+        n = opt.training.get("n_sdf_points")
+        if n:
+            sel = self.rng.permutation(pts.shape[0])[:n]
+            pts, sdf = pts[sel], sdf[sel]
+        sample["gt_sample_points"] = pts
+        sample["gt_sample_sdf"] = sdf
+        return sample
+
+    def __len__(self):
+        return len(self.list)
+
+
+Dataset = SyntheticDataset

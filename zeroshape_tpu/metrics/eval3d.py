@@ -1,0 +1,178 @@
+"""3D shape evaluation: dense occupancy decode, Chamfer, F-score, alignment.
+
+TPU-native counterpart of the reference ``utils/eval_3D.py``. The pipeline
+stays on device from occupancy decode through Chamfer scoring:
+
+  * :func:`occupancy_grid` — decodes the (N+1)^3 query grid through the
+    implicit network's cached latents in fixed-size point tiles under
+    ``lax.map``. The reference re-runs the full joint attention (latent
+    self-attention included) for every z-slice (eval_3D.py:34-45); here the
+    latents are encoded once (see models/implicit.py) and only the point
+    cross-attention + MLP run per tile.
+  * :func:`brute_force_search` — best-of-6912-rotations alignment
+    (eval_3D.py:140-170) as a batched scan; only the winning rotation's cloud
+    is materialized.
+  * :func:`icp` — SVD-based iterative closest point (eval_3D.py:271-284).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zeroshape_tpu.camera import get_rotation_sphere
+from zeroshape_tpu.ops.chamfer import chamfer_distance
+
+DEFAULT_F_THRESHOLDS = (0.005, 0.01, 0.02, 0.05, 0.1, 0.2)
+
+
+def get_dense_3D_grid(vox_res, rng=(-1.5, 1.5)):
+    """[(N+1)^3, 3] grid points (reference eval_3D.py:10-20 uses N+1 samples)."""
+    lo, hi = rng
+    g = jnp.linspace(lo, hi, vox_res + 1)
+    X, Y, Z = jnp.meshgrid(g, g, g, indexing="ij")
+    return jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+
+def occupancy_grid(decode_fn, points, batch_size, tile_points=16641):
+    """Decode occupancy logits for a flat point set in tiles.
+
+    Args:
+      decode_fn: points [B, T, 3] -> logits [B, T] (closure over latent caches).
+      points: [P, 3] flat query grid (shared across the batch).
+      batch_size: B of the latent caches.
+      tile_points: queries per tile (default = one 129^2 slice).
+    Returns:
+      sigmoid occupancies [B, P].
+    """
+    P = points.shape[0]
+    n_tiles = -(-P // tile_points)
+    pad = n_tiles * tile_points - P
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    tiles = pts.reshape(n_tiles, tile_points, 3)
+
+    def tile_fn(tile):
+        batch_pts = jnp.broadcast_to(tile[None], (batch_size,) + tile.shape)
+        return decode_fn(batch_pts)  # [B, T]
+
+    occ = jax.lax.map(tile_fn, tiles)  # [n_tiles, B, T]
+    occ = jnp.moveaxis(occ, 1, 0).reshape(batch_size, -1)[:, :P]
+    return jax.nn.sigmoid(occ)
+
+
+def normalize_pc(pc):
+    """Center by mean; scale by max xy extent (reference eval_3D.py:93-102)."""
+    assert pc.ndim == 3
+    pc_zmean = pc - pc.mean(axis=1, keepdims=True)
+    length_x = pc_zmean[:, :, 0].max(axis=-1) - pc_zmean[:, :, 0].min(axis=-1)
+    length_y = pc_zmean[:, :, 1].max(axis=-1) - pc_zmean[:, :, 1].min(axis=-1)
+    length_max = jnp.maximum(length_x, length_y)[:, None, None]
+    return pc_zmean / (length_max + 1e-7)
+
+
+def compute_fscore(dist1, dist2, thresholds=DEFAULT_F_THRESHOLDS):
+    """F-score at each threshold; NaN -> 0 (reference eval_3D.py:215-231)."""
+    scores = []
+    for t in thresholds:
+        precision = jnp.mean((dist1 < t).astype(jnp.float32), axis=1)
+        recall = jnp.mean((dist2 < t).astype(jnp.float32), axis=1)
+        denom = precision + recall
+        f = jnp.where(denom > 0, 2 * precision * recall / jnp.maximum(denom, 1e-12), 0.0)
+        scores.append(f)
+    return jnp.stack(scores, axis=1)  # [B, n_thresholds]
+
+
+def chamfer_eval(pc_pred, pc_gt, use_pallas=None):
+    """(acc [B, N], comp [B, M]) sqrt NN distances."""
+    d1, d2, _, _ = chamfer_distance(pc_pred, pc_gt, use_pallas)
+    return d1, d2
+
+
+@partial(
+    jax.jit,
+    static_argnames=("rot_batch", "thresholds", "use_pallas", "rot_samples"),
+)
+def brute_force_search(
+    pc_pred,
+    pc_gt,
+    thresholds=DEFAULT_F_THRESHOLDS,
+    rot_batch=48,
+    use_pallas=None,
+    rot_samples=(24, 24, 12),
+):
+    """Best-of-6912-rotations alignment of one sample.
+
+    Args:
+      pc_pred [P, 3], pc_gt [G, 3].
+    Returns dict: best (acc, comp, f_score [n_thr], pc_pred [P, 3] rotated+
+    normalized, pc_gt normalized).
+    """
+    rotations = get_rotation_sphere(
+        azim_sample=rot_samples[0],
+        elev_sample=rot_samples[1],
+        roll_sample=rot_samples[2],
+    )
+    R_all = rotations.reshape(-1, rot_batch, 3, 3)  # [nb, rb, 3, 3]
+    gt_n = normalize_pc(pc_gt[None])  # [1, G, 3]
+
+    def batch_fn(R):
+        # R [rb, 3, 3]
+        rot = jnp.einsum("rij,pj->rpi", R, pc_pred)  # [rb, P, 3]
+        rot = normalize_pc(rot)
+        gt_rep = jnp.broadcast_to(gt_n, (R.shape[0],) + gt_n.shape[1:])
+        acc_d, comp_d = chamfer_eval(rot, gt_rep, use_pallas)
+        f = compute_fscore(acc_d, comp_d, thresholds)  # [rb, n_thr]
+        acc = acc_d.mean(axis=1)
+        comp = comp_d.mean(axis=1)
+        return acc, comp, f
+
+    accs, comps, fs = jax.lax.map(batch_fn, R_all)
+    accs = accs.reshape(-1)
+    comps = comps.reshape(-1)
+    fs = fs.reshape(-1, fs.shape[-1])
+    cd = (accs + comps) / 2.0
+    best = jnp.argmin(cd)
+    R_best = rotations[best]
+    pc_best = normalize_pc(jnp.einsum("ij,pj->pi", R_best, pc_pred)[None])[0]
+    return {
+        "acc": accs[best],
+        "comp": comps[best],
+        "f_score": fs[best],
+        "pc_pred": pc_best,
+        "pc_gt": gt_n[0],
+        "rotation": R_best,
+    }
+
+
+def icp(X1, X2, num_iter=50, use_pallas=None):
+    """SVD ICP aligning X1 [B, N, 3] onto X2 [B, M, 3] (eval_3D.py:271-284)."""
+
+    def step(X1, _):
+        _, _, idx, _ = chamfer_distance(X1, X2, use_pallas)
+        X2_corresp = jnp.take_along_axis(X2, idx[..., None], axis=1)
+        t1 = X1.mean(axis=-2, keepdims=True)
+        t2 = X2_corresp.mean(axis=-2, keepdims=True)
+        H = jnp.einsum("bni,bnj->bij", X1 - t1, X2_corresp - t2)
+        U, S, Vt = jnp.linalg.svd(H)
+        V = jnp.swapaxes(Vt, -1, -2)
+        R = jnp.einsum("bij,bkj->bik", V, U)
+        det = jnp.linalg.det(R)
+        V_fix = V.at[:, :, 2].multiply(jnp.where(det < 0, -1.0, 1.0)[:, None])
+        R = jnp.einsum("bij,bkj->bik", V_fix, U)
+        X1_new = jnp.einsum("bni,bji->bnj", X1 - t1, R) + t2
+        return X1_new, None
+
+    X1_final, _ = jax.lax.scan(step, X1, None, length=num_iter)
+    return X1_final
+
+
+def transform_gt_to_view(dpc_points, pose_gt, flip_xy=False):
+    """GT cloud -> view-centered frame (eval_3D.py:120-123, 187-190)."""
+    R_gt = pose_gt[..., :3]
+    pts = jnp.einsum("bij,bnj->bni", R_gt, dpc_points)
+    if flip_xy:
+        pts = pts * jnp.asarray([-1.0, -1.0, 1.0])
+    return pts

@@ -1,0 +1,235 @@
+"""Marching cubes on TPU: fixed-shape XLA pipeline, no host round-trip.
+
+The reference extracts meshes on the CPU (PyMCubes) and samples them with
+trimesh (utils/eval_3D.py:233-263), bouncing the 128^3 level grid
+device->host->device. Marching cubes has data-dependent output size, which is
+hostile to XLA; we sidestep it with two observations:
+
+  * The evaluation protocol never needs the mesh — it needs ``num_points``
+    area-uniform samples of the isosurface. Sampling can be done with fixed
+    shapes: compute every potential triangle's *area* (zero for inactive
+    table slots), build a cumulative distribution, draw ``num_points``
+    uniforms, invert the CDF with a searchsorted, and only then reconstruct
+    the few chosen triangles. All O(S^3) work is dense, regular VPU math.
+  * Mesh export (demo/vis) is host-bound file IO anyway, so compaction of the
+    dense triangle buffer happens in numpy on the way to disk.
+
+Vertex convention matches PyMCubes: vertices live in grid-index coordinates
+[0, S-1]; callers rescale with ``verts / S * (max - min) + min`` exactly like
+the reference (eval_3D.py:253-255).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zeroshape_tpu.ops.mc_tables import CORNERS, EDGES, MAX_TRIS, N_TRI, TRI_TABLE
+
+# corner offsets as int, shape [8, 3]
+_CORNER_OFF = CORNERS.astype(np.int32)
+
+
+def _gather_corners(level, base_idx):
+    """Gather the 8 corner values for cubes at integer coords base_idx [M, 3]."""
+    S = level.shape[0]
+    flat = level.reshape(-1)
+    idx = (
+        (base_idx[:, None, 0] + _CORNER_OFF[None, :, 0]) * S * S
+        + (base_idx[:, None, 1] + _CORNER_OFF[None, :, 1]) * S
+        + (base_idx[:, None, 2] + _CORNER_OFF[None, :, 2])
+    )  # [M, 8]
+    return flat[idx]
+
+
+def _case_index(corner_vals, isoval):
+    """Case id in [0, 256): bit i set iff corner i is inside (>= isoval)."""
+    bits = (corner_vals >= isoval).astype(jnp.int32)
+    weights = jnp.asarray([1 << i for i in range(8)], jnp.int32)
+    return jnp.sum(bits * weights, axis=-1)
+
+
+def _edge_vertices(corner_vals, base_idx, isoval):
+    """Isosurface vertex on each of the 12 edges (valid only where crossed).
+
+    Returns [M, 12, 3] positions in grid-index coordinates.
+    """
+    va = corner_vals[:, EDGES[:, 0]]  # [M, 12]
+    vb = corner_vals[:, EDGES[:, 1]]
+    denom = vb - va
+    t = jnp.where(jnp.abs(denom) > 1e-12, (isoval - va) / denom, 0.5)
+    t = jnp.clip(t, 0.0, 1.0)
+    pa = base_idx[:, None, :].astype(jnp.float32) + CORNERS[EDGES[:, 0]][None]
+    pb = base_idx[:, None, :].astype(jnp.float32) + CORNERS[EDGES[:, 1]][None]
+    return pa + t[..., None] * (pb - pa)
+
+
+def _cube_triangles(level, base_idx, isoval):
+    """All candidate triangles for cubes base_idx: ([M, T, 3, 3] verts, [M, T] valid)."""
+    corner_vals = _gather_corners(level, base_idx)  # [M, 8]
+    case = _case_index(corner_vals, isoval)  # [M]
+    everts = _edge_vertices(corner_vals, base_idx, isoval)  # [M, 12, 3]
+    tri_edges = jnp.asarray(TRI_TABLE)[case]  # [M, T, 3]
+    valid = tri_edges[..., 0] >= 0  # [M, T]
+    safe_edges = jnp.maximum(tri_edges, 0)
+    tri_verts = jnp.take_along_axis(
+        everts[:, None, :, :].repeat(MAX_TRIS, axis=1),
+        safe_edges[..., None].repeat(3, axis=-1),
+        axis=2,
+    )  # [M, T, 3, 3]
+    return tri_verts, valid
+
+
+def _tri_area(tri_verts):
+    e1 = tri_verts[..., 1, :] - tri_verts[..., 0, :]
+    e2 = tri_verts[..., 2, :] - tri_verts[..., 0, :]
+    return 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+
+
+def _all_cube_indices(S):
+    n = S - 1
+    r = jnp.arange(n, dtype=jnp.int32)
+    I, J, K = jnp.meshgrid(r, r, r, indexing="ij")
+    return jnp.stack([I.reshape(-1), J.reshape(-1), K.reshape(-1)], axis=-1)
+
+
+def triangle_areas(level, isoval=0.5, slab=8):
+    """Areas of all candidate triangles, [n_cubes * MAX_TRIS] (0 = inactive).
+
+    Processes the grid in z-slabs via lax.map to bound peak memory.
+    """
+    S = level.shape[0]
+    n = S - 1
+    assert n % slab == 0 or slab >= n, "slab must divide S-1"
+    slab = min(slab, n)
+    r = jnp.arange(n, dtype=jnp.int32)
+    J, K = jnp.meshgrid(r, r, indexing="ij")
+    jk = jnp.stack([J.reshape(-1), K.reshape(-1)], axis=-1)  # [n*n, 2]
+
+    def slab_fn(i0):
+        iis = i0 + jnp.arange(slab, dtype=jnp.int32)
+        base = jnp.concatenate(
+            [
+                jnp.repeat(iis, n * n)[:, None],
+                jnp.tile(jk, (slab, 1)),
+            ],
+            axis=-1,
+        )  # [slab*n*n, 3]
+        tv, valid = _cube_triangles(level, base, isoval)
+        return jnp.where(valid, _tri_area(tv), 0.0)  # [slab*n*n, T]
+
+    starts = jnp.arange(0, n, slab, dtype=jnp.int32)
+    areas = jax.lax.map(slab_fn, starts)  # [n/slab, slab*n*n, T]
+    return areas.reshape(-1)
+
+
+def sample_surface_points(level, key, num_points=10000, isoval=0.5, slab=8):
+    """Area-uniform points on the isosurface of ``level`` [S, S, S].
+
+    Fully on-device, fixed output shape [num_points, 3] in grid-index
+    coordinates. Empty surfaces return zeros (matching the reference's
+    empty-mesh fallback, eval_3D.py:261-263).
+
+    This fuses the reference's mcubes -> trimesh.sample pipeline into one
+    XLA program: per-triangle areas -> CDF -> inverse-transform sampling ->
+    on-the-fly reconstruction of only the ~num_points chosen triangles.
+    """
+    S = level.shape[0]
+    n = S - 1
+    areas = triangle_areas(level, isoval, slab)  # [n^3 * T]
+    cdf = jnp.cumsum(areas)
+    total = cdf[-1]
+
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (num_points,)) * total
+    slots = jnp.searchsorted(cdf, u, side="right")
+    slots = jnp.minimum(slots, areas.shape[0] - 1)
+
+    cube_ids = slots // MAX_TRIS
+    tri_ids = (slots % MAX_TRIS).astype(jnp.int32)
+    base = jnp.stack(
+        [
+            cube_ids // (n * n),
+            (cube_ids // n) % n,
+            cube_ids % n,
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    tri_verts, valid = _cube_triangles(level, base, isoval)  # [P, T, 3, 3]
+    tri = jnp.take_along_axis(
+        tri_verts, tri_ids[:, None, None, None].repeat(3, 2).repeat(3, 3), axis=1
+    )[:, 0]  # [P, 3, 3]
+
+    # uniform barycentric sampling (sqrt trick)
+    r = jax.random.uniform(k2, (num_points, 2))
+    su = jnp.sqrt(r[:, :1])
+    b0 = 1.0 - su
+    b1 = su * (1.0 - r[:, 1:])
+    b2 = su * r[:, 1:]
+    pts = b0 * tri[:, 0] + b1 * tri[:, 1] + b2 * tri[:, 2]
+    return jnp.where(total > 0, pts, jnp.zeros_like(pts))
+
+
+def marching_cubes_mesh(level, isoval=0.5):
+    """Host-side mesh extraction: returns (vertices [V, 3], faces [F, 3]).
+
+    Triangles reference vertices by *canonical global grid edge* — the pair
+    (lowest grid endpoint, axis) identifies each isosurface vertex exactly, so
+    welding is integer-exact and the mesh is watertight by construction.
+    Used for mesh export (demo/vis), not the eval hot path.
+    """
+    level = np.asarray(level)
+    S = level.shape[0]
+    n = S - 1
+    base = np.stack(
+        np.meshgrid(np.arange(n), np.arange(n), np.arange(n), indexing="ij"), -1
+    ).reshape(-1, 3)
+
+    corner_vals = np.take(
+        level.reshape(-1),
+        (base[:, None, 0] + _CORNER_OFF[None, :, 0]) * S * S
+        + (base[:, None, 1] + _CORNER_OFF[None, :, 1]) * S
+        + (base[:, None, 2] + _CORNER_OFF[None, :, 2]),
+    )  # [M, 8]
+    case = ((corner_vals >= isoval) << np.arange(8)).sum(axis=1)
+    tri_edges = TRI_TABLE[case]  # [M, T, 3] cube-local edge ids
+    valid = tri_edges[..., 0] >= 0
+    if not valid.any():
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+
+    # canonical global edge id for each (cube, local edge): lower endpoint + axis
+    ca = CORNERS[EDGES[:, 0]].astype(np.int64)  # [12, 3]
+    cb = CORNERS[EDGES[:, 1]].astype(np.int64)
+    lo_corner = np.minimum(ca, cb)  # [12, 3]
+    axis = np.argmax(np.abs(ca - cb), axis=1)  # [12]
+    cube_idx, tri_idx = np.nonzero(valid)
+    e_local = tri_edges[cube_idx, tri_idx]  # [F, 3]
+    b = base[cube_idx].astype(np.int64)  # [F, 3]
+    lo = b[:, None, :] + lo_corner[e_local]  # [F, 3, 3] grid point
+    ax = axis[e_local]  # [F, 3]
+    gid = ((lo[..., 0] * S + lo[..., 1]) * S + lo[..., 2]) * 3 + ax  # [F, 3]
+
+    uniq, inv = np.unique(gid.reshape(-1), return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int32)
+
+    # vertex positions: interpolate along each unique global edge
+    axis_u = (uniq % 3).astype(np.int64)
+    p = uniq // 3
+    lo_pt = np.stack([p // (S * S), (p // S) % S, p % S], axis=-1)  # [V, 3]
+    hi_pt = lo_pt.copy()
+    hi_pt[np.arange(len(uniq)), axis_u] += 1
+    va = level[lo_pt[:, 0], lo_pt[:, 1], lo_pt[:, 2]]
+    vb = level[hi_pt[:, 0], hi_pt[:, 1], hi_pt[:, 2]]
+    denom = vb - va
+    t = np.where(np.abs(denom) > 1e-12, (isoval - va) / np.where(denom == 0, 1, denom), 0.5)
+    t = np.clip(t, 0.0, 1.0)
+    verts = lo_pt.astype(np.float64) + t[:, None] * (hi_pt - lo_pt)
+    good = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return verts.astype(np.float32), faces[good]

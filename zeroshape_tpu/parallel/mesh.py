@@ -1,0 +1,67 @@
+"""Device mesh and sharding helpers.
+
+The reference scales with one-process-per-GPU DDP (train.py:41-45, NCCL
+all-reduce). TPU-native equivalent: a single-controller SPMD program over a
+``jax.sharding.Mesh`` with the batch sharded along a ``data`` axis; XLA
+inserts the gradient all-reduce over ICI automatically. The mesh is 1-D for
+pure data parallelism but carries named axes so tensor/sequence sharding can
+be layered on later without touching call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding for input pytrees."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a host batch pytree onto the mesh, sharded along axis 0."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+def pad_batch_for_mesh(batch, mesh: Mesh):
+    """Pad the batch's leading dim to a mesh-size multiple; returns
+    (padded batch, validity mask [B_padded]).
+
+    Replaces the reference's auxiliary remainder loader
+    (shape_engine.py:57-62,436-461): instead of a second single-process pass
+    over the dataset tail, the tail batch is padded and masked.
+    """
+    n_dev = mesh.devices.size
+    leaves = jax.tree.leaves(batch)
+    B = leaves[0].shape[0]
+    Bp = pad_to_multiple(B, n_dev)
+    if Bp == B:
+        mask = np.ones((B,), np.float32)
+        return batch, mask
+    pad = Bp - B
+
+    def pad_leaf(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), widths, mode="edge")
+
+    mask = np.concatenate([np.ones((B,), np.float32), np.zeros((pad,), np.float32)])
+    return jax.tree.map(pad_leaf, batch), mask

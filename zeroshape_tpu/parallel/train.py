@@ -1,0 +1,181 @@
+"""Sharded training step: optax param groups, grad accumulation, pjit.
+
+Rebuilds the reference's training runtime (model/shape_engine.py:75-136,
+248-297) the TPU way:
+
+  * The AdamW param-group split — (finetune vs scratch) x (decay vs nodecay),
+    finetune = DPT + intrinsics head — becomes ``optax.multi_transform`` over
+    a path-derived label tree. ``fix_dpt`` freezes the finetune groups with
+    ``optax.set_to_zero`` (replacing DDP's ``find_unused_parameters``).
+  * Gradient accumulation uses ``optax.MultiSteps`` (reference accumulates
+    ``loss.backward()`` across ``optim.accum`` iterations).
+  * AMP/GradScaler is unnecessary: the forward runs in bf16 where requested
+    and the loss/optimizer math stays fp32.
+  * One jitted train_step with donated state; batch sharded over the mesh's
+    data axis, params replicated; XLA emits the gradient all-reduce (the
+    reference's implicit DDP all-reduce, shape_engine.py:259).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from zeroshape_tpu.losses import summarize_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def _is_finetune(path) -> bool:
+    """Reference rule (shape_engine.py:109): 'dpt_depth' or 'intr_' in name."""
+    keys = [getattr(p, "key", str(p)) for p in path]
+    return any(("dpt_depth" in k) or k.startswith("intr_") for k in keys)
+
+
+def _is_nodecay(path, leaf) -> bool:
+    """Reference rule (shape_engine.py:87): ndim <= 1 or name endswith bias."""
+    keys = [getattr(p, "key", str(p)) for p in path]
+    return leaf.ndim <= 1 or (keys and keys[-1].endswith("bias"))
+
+
+def param_group_labels(params):
+    """Label tree: finetune_nodecay / finetune_decay / scratch_nodecay / scratch_decay."""
+
+    def label(path, leaf):
+        ft = _is_finetune(path)
+        nd = _is_nodecay(path, leaf)
+        return ("finetune_" if ft else "scratch_") + ("nodecay" if nd else "decay")
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    params,
+    lr: float,
+    lr_ft: Optional[float] = None,
+    weight_decay: float = 0.05,
+    fix_dpt: bool = False,
+    clip_norm: Optional[float] = None,
+    accum: int = 1,
+    sched_steps: Optional[int] = None,
+):
+    """AdamW(betas 0.9/0.95) with the reference's four param groups."""
+    lr_ft = lr_ft if lr_ft is not None else lr
+
+    def make_sched(base):
+        if sched_steps:
+            return optax.cosine_decay_schedule(base, sched_steps)
+        return base
+
+    def adamw(base_lr, wd):
+        return optax.adamw(make_sched(base_lr), b1=0.9, b2=0.95, weight_decay=wd)
+
+    transforms = {
+        "scratch_decay": adamw(lr, weight_decay),
+        "scratch_nodecay": adamw(lr, 0.0),
+        "finetune_decay": optax.set_to_zero() if fix_dpt else adamw(lr_ft, weight_decay),
+        "finetune_nodecay": optax.set_to_zero() if fix_dpt else adamw(lr_ft, 0.0),
+    }
+    labels = param_group_labels(params)
+    tx = optax.multi_transform(transforms, labels)
+    if clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
+
+
+def create_train_state(model, opt, batch, rng, dtype=None):
+    """Initialize params/batch_stats and the optimizer."""
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, batch, train=False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    optim = opt.optim
+    tx = make_optimizer(
+        params,
+        lr=optim.lr,
+        lr_ft=optim.get("lr_ft"),
+        weight_decay=optim.weight_decay,
+        fix_dpt=optim.get("fix_dpt", False),
+        clip_norm=optim.get("clip_norm"),
+        accum=optim.get("accum", 1) or 1,
+        sched_steps=None,
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(model, opt, loss_fn, mesh, axis_name: str = "data"):
+    """Build the jitted, mesh-sharded train step.
+
+    loss_fn(opt, batch, out, training) -> dict of unweighted loss terms.
+    Returns train_step(state, batch, rng) -> (state, metrics dict).
+    """
+    loss_weights = dict(opt.loss_weight)
+    batch_sh = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+
+    def step_fn(state, batch, rng):
+        def compute(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables,
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss_dict = loss_fn(opt, batch, out, training=True)
+            total = summarize_loss(loss_dict, loss_weights)
+            return total, (loss_dict, mutated.get("batch_stats", state.batch_stats))
+
+        (total, (loss_dict, new_bs)), grads = jax.value_and_grad(
+            compute, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = {"loss_all": total}
+        metrics.update({f"loss_{k}": jnp.mean(v) for k, v in loss_dict.items()})
+        return new_state, metrics
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, batch_sh, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model, mesh, axis_name: str = "data"):
+    """Jitted forward pass (no loss), batch sharded over the data axis."""
+    batch_sh = NamedSharding(mesh, P(axis_name))
+
+    def fwd(state, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, batch, train=False)
+
+    return jax.jit(fwd, in_shardings=(None, batch_sh))

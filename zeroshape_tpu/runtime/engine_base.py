@@ -1,0 +1,158 @@
+"""Shared Runner scaffolding for the shape/depth engines.
+
+Lifecycle mirrors the reference Runner (model/shape_engine.py:20-163):
+load_dataset / build_networks / setup_optimizer / restore_checkpoint /
+setup_visualizer / train / evaluate — re-expressed for single-controller JAX:
+no process groups, no DDP wrappers, one host feeding a device mesh.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import shutil
+import time
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from zeroshape_tpu.parallel.mesh import make_mesh, shard_batch
+from zeroshape_tpu.parallel import train as ptrain
+from zeroshape_tpu.runtime import checkpoint as ckpt_util
+from zeroshape_tpu.runtime.logging import MetricLogger, SmoothedValue, log_print
+
+DATASETS = {
+    "synthetic": "zeroshape_tpu.data.synthetic",
+    "pix3d": "zeroshape_tpu.data.pix3d",
+    "ocrtoc": "zeroshape_tpu.data.ocrtoc",
+    "omniobj3d": "zeroshape_tpu.data.omniobj3d",
+}
+
+
+def load_dataset_module(name: str):
+    return importlib.import_module(DATASETS[name])
+
+
+class RunnerBase:
+    def __init__(self, opt):
+        self.opt = opt
+        out = opt.output_path
+        if os.path.isdir(out) and not opt.get("resume"):
+            for filename in os.listdir(out):
+                full = os.path.join(out, filename)
+                if "tfevents" in filename or filename.endswith(".html"):
+                    os.remove(full)
+                if filename.startswith("vis") and os.path.isdir(full):
+                    shutil.rmtree(full)
+        os.makedirs(out, exist_ok=True)
+        self.mesh = make_mesh()
+        self.tb = None
+        self.best_val = np.inf
+        self.best_ep = 1
+        self.epoch_start = 0
+        self.iter_start = 0
+        self.it = 0
+        self.ep = 0
+
+    # -- data ---------------------------------------------------------------
+    def load_dataset(self, eval_split="test", load_train=True):
+        opt = self.opt
+        if load_train:
+            mod = load_dataset_module(opt.data.dataset_train)
+            log_print("loading training data...")
+            self.train_data = mod.Dataset(opt, split="train")
+            self.train_loader = self.train_data.setup_loader(
+                opt, shuffle=True, drop_last=True
+            )
+            self.num_batches = len(self.train_loader)
+        mod_t = load_dataset_module(opt.data.dataset_test)
+        log_print("loading test data...")
+        self.test_data = mod_t.Dataset(opt, split=eval_split)
+        self.test_loader = self.test_data.setup_loader(
+            opt, shuffle=False, drop_last=False, batch_size=opt.eval.batch_size
+        )
+        self.viz_data = self._collect_viz_data()
+
+    def _collect_viz_data(self):
+        opt = self.opt
+        n_vis = opt.eval.get("n_vis", 0)
+        if not n_vis:
+            return []
+        n = len(self.test_data)
+        if n == 0:
+            return []
+        step = max(n // n_vis, 1)
+        from zeroshape_tpu.data.base import default_collate
+
+        return [default_collate([self.test_data[i]]) for i in range(0, n, step)][:n_vis]
+
+    # -- checkpoints ----------------------------------------------------------
+    def restore_checkpoint(self, best=False, evaluate=False):
+        opt = self.opt
+        if opt.get("resume"):
+            name = "best.ckpt" if best else "latest.ckpt"
+            path = os.path.join(opt.output_path, name)
+            log_print(f"resuming from {path}...")
+            payload = ckpt_util.restore_checkpoint(path, self.state)
+            self.state = ckpt_util.apply_payload(
+                self.state, payload, restore_optim=not evaluate
+            )
+            self.epoch_start = int(payload["epoch"]) + 1
+            self.iter_start = int(payload["iter"])
+            self.best_val = float(payload["best_val"])
+            self.best_ep = int(payload["best_ep"])
+        elif opt.get("load"):
+            log_print(f"loading weights from {opt.load}...")
+            self.load_weights(opt.load)
+        else:
+            log_print("initializing weights from scratch...")
+
+    def load_weights(self, path):
+        """Accepts a torch .ckpt file or an orbax checkpoint directory."""
+        if os.path.isdir(path):
+            payload = ckpt_util.restore_checkpoint(path, self.state)
+            self.state = ckpt_util.apply_payload(self.state, payload, restore_optim=False)
+        else:
+            params, stats, report, meta = ckpt_util.load_torch_checkpoint(
+                path, graph=self.graph_name
+            )
+            if report["missing"]:
+                log_print(f"warning: {len(report['missing'])} keys missing from ckpt")
+            self.state = self.state.replace(
+                params=ckpt_util.merge_params(self.state.params, params),
+                batch_stats=ckpt_util.merge_params(self.state.batch_stats, stats)
+                if stats
+                else self.state.batch_stats,
+            )
+
+    def save_checkpoint(self, ep, it, latest=False, best=False):
+        path = ckpt_util.save_checkpoint(
+            self.opt.output_path, self.state, ep, it, self.best_val, self.best_ep,
+            latest=latest, best=best,
+        )
+        if not latest:
+            log_print(f"checkpoint saved: ep {ep} (iteration {it})")
+        if best:
+            log_print("Saving the current model as the best...")
+        return path
+
+    # -- visualizer -----------------------------------------------------------
+    def setup_visualizer(self, test=False):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            logdir = (
+                self.opt.output_path
+                if not test
+                else os.path.join(self.opt.output_path, "embedding")
+            )
+            os.makedirs(logdir, exist_ok=True)
+            self.tb = SummaryWriter(log_dir=logdir, flush_secs=10)
+        except Exception as e:  # pragma: no cover
+            log_print(f"tensorboard unavailable ({e}); scalar logging to stdout only")
+            self.tb = None
+
+    def log_scalar(self, tag, value, step):
+        if self.tb is not None:
+            self.tb.add_scalar(tag, float(value), step)

@@ -1,0 +1,294 @@
+"""Visualization dumpers: images, depths, meshes (PLY), point clouds,
+attention GIFs, textured seen-surface OBJ, and the self-contained HTML
+gallery — the framework's regression-inspection surface
+(reference utils/util_vis.py:60-197, 449-511).
+
+trimesh/pyrender are not dependencies: PLY/OBJ writers are implemented
+directly, and the mesh turntable renders use matplotlib's 3D engine.
+All tensors are numpy NHWC on entry (callers np.asarray device output).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _ensure_dir(path):
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _to_uint8(img):
+    return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Images / depths
+# ---------------------------------------------------------------------------
+
+def dump_images(output_path, idx, name, images, from_range=(0, 1), folder="dump"):
+    """images [B, H, W, C] -> {output_path}/{folder}/{i}_{name}.png."""
+    from PIL import Image
+
+    lo, hi = from_range
+    images = (np.asarray(images, np.float32) - lo) / (hi - lo)
+    out_dir = _ensure_dir(os.path.join(output_path, folder))
+    for i, img in zip(np.asarray(idx).tolist(), images):
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        Image.fromarray(_to_uint8(img)).save(os.path.join(out_dir, f"{i}_{name}.png"))
+
+
+def dump_depths(output_path, idx, name, depths, masks=None, rescale=False, folder="dump"):
+    """Viridis depth dumps; background filled with max foreground depth
+    (util_vis.py:73-79)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    depths = np.asarray(depths, np.float32)
+    if rescale and masks is not None:
+        m = (np.asarray(masks) > 0.5).astype(np.float32)
+        fg_max = (depths * m).reshape(depths.shape[0], -1).max(axis=1)
+        depths = depths * m + (1 - m) * fg_max.reshape(-1, *([1] * (depths.ndim - 1)))
+    depths = 1.0 - depths
+    out_dir = _ensure_dir(os.path.join(output_path, folder))
+    for i, depth in zip(np.asarray(idx).tolist(), depths):
+        plt.imsave(os.path.join(out_dir, f"{i}_{name}.png"), depth.squeeze(), cmap="viridis")
+
+
+# ---------------------------------------------------------------------------
+# PLY / OBJ writers
+# ---------------------------------------------------------------------------
+
+def write_ply_mesh(fname, vertices, faces):
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int32)
+    with open(fname, "wb") as f:
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(vertices)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {len(faces)}\n"
+            "property list uchar int vertex_indices\nend_header\n"
+        )
+        f.write(header.encode())
+        f.write(vertices.astype("<f4").tobytes())
+        face_block = np.empty(
+            len(faces), dtype=[("n", "u1"), ("idx", "<i4", (3,))]
+        )
+        face_block["n"] = 3
+        face_block["idx"] = faces
+        f.write(face_block.tobytes())
+
+
+def write_ply_points(fname, points, colors=None):
+    points = np.asarray(points, np.float32)
+    with open(fname, "wb") as f:
+        props = "property float x\nproperty float y\nproperty float z\n"
+        if colors is not None:
+            props += "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(points)}\n{props}end_header\n"
+        )
+        f.write(header.encode())
+        if colors is None:
+            f.write(points.astype("<f4").tobytes())
+        else:
+            rec = np.empty(
+                len(points),
+                dtype=[("xyz", "<f4", (3,)), ("rgb", "u1", (3,))],
+            )
+            rec["xyz"] = points
+            rec["rgb"] = np.asarray(colors, np.uint8)
+            f.write(rec.tobytes())
+
+
+def dump_meshes(output_path, idx, name, meshes, folder="dump"):
+    """meshes: list of (vertices, faces)."""
+    out_dir = _ensure_dir(os.path.join(output_path, folder))
+    for i, (verts, faces) in zip(np.asarray(idx).tolist(), meshes):
+        if len(verts) == 0:
+            print("Mesh is empty!")
+            continue
+        write_ply_mesh(os.path.join(out_dir, f"{i}_{name}.ply"), verts, faces)
+
+
+def dump_pointclouds(output_path, idx, name, pcs, colors=None, folder="dump", colormap="jet"):
+    out_dir = _ensure_dir(os.path.join(output_path, folder))
+    for k, i in enumerate(np.asarray(idx).tolist()):
+        pc = np.asarray(pcs[k])
+        col = None
+        if colors is not None:
+            col = np.asarray(colors[k])
+            if col.shape[-1] == 1:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                col = (np.asarray(plt.get_cmap(colormap)(col[:, 0]))[:, :3] * 255).astype(np.uint8)
+        write_ply_points(os.path.join(out_dir, f"{i}_{name}.ply"), pc, col)
+
+
+def dump_pointclouds_compare(output_path, idx, name, preds, gts, folder="dump"):
+    """Red = prediction, green = GT, one fused PLY (util_vis.py:172-185)."""
+    out_dir = _ensure_dir(os.path.join(output_path, folder))
+    for k, i in enumerate(np.asarray(idx).tolist()):
+        pred = np.asarray(preds[k])
+        gt = np.asarray(gts[k])
+        colors = np.zeros((len(pred) + len(gt), 3), np.uint8)
+        colors[: len(pred), 0] = 255
+        colors[len(pred) :, 1] = 255
+        write_ply_points(
+            os.path.join(out_dir, f"{i}_{name}.ply"),
+            np.vstack([pred, gt]),
+            colors,
+        )
+
+
+def dump_seen_surface(output_path, idx, obj_name, img_name, seen_projs, folder="dump", connect_thres=0.005):
+    """Textured seen-surface OBJ+MTL (util_vis.py:129-170), vectorized."""
+    out_dir = _ensure_dir(os.path.join(output_path, folder))
+    for k, i in enumerate(np.asarray(idx).tolist()):
+        XYZ = np.asarray(seen_projs[k])  # [H, W, 3]
+        H, W = XYZ.shape[:2]
+        img_fname = f"{i}_{img_name}.png"
+        with open(os.path.join(out_dir, f"{i}_{obj_name}.mtl"), "w") as f:
+            f.write(
+                "newmtl material_0\nKa 0.200000 0.200000 0.200000\n"
+                "Kd 0.752941 0.752941 0.752941\nKs 1.000000 1.000000 1.000000\n"
+                "Tr 1.000000\nillum 2\nNs 0.000000\n"
+                f"map_Ka {img_fname}\nmap_Kd {img_fname}\n"
+            )
+        valid = XYZ[..., 2] > 0
+        idx_map = np.zeros((H, W), np.int64)
+        idx_map[valid] = np.arange(1, valid.sum() + 1)
+        ys, xs = np.nonzero(valid)
+        with open(os.path.join(out_dir, f"{i}_{obj_name}.obj"), "w") as f:
+            f.write(f"mtllib {i}_{obj_name}.mtl\n")
+            for y, x in zip(ys, xs):
+                f.write("v %.4f %.4f %.4f\n" % tuple(XYZ[y, x]))
+                f.write("vt %.8f %.8f\n" % (x / W, 1.0 - y / H))
+            f.write("usemtl material_0\n")
+
+            def close(a, b):
+                return np.linalg.norm(XYZ[a] - XYZ[b]) < connect_thres
+
+            for y in range(H - 1):
+                for x in range(W - 1):
+                    if valid[y, x] and valid[y, x + 1] and valid[y + 1, x]:
+                        if close((y, x), (y, x + 1)) and close((y, x), (y + 1, x)):
+                            a, b, c = idx_map[y, x], idx_map[y, x + 1], idx_map[y + 1, x]
+                            f.write(f"f {a}/{a} {b}/{b} {c}/{c}\n")
+                    if valid[y, x + 1] and valid[y + 1, x + 1] and valid[y + 1, x]:
+                        if close((y, x + 1), (y + 1, x + 1)) and close((y, x + 1), (y + 1, x)):
+                            a, b, c = idx_map[y, x + 1], idx_map[y + 1, x + 1], idx_map[y + 1, x]
+                            f.write(f"f {a}/{a} {b}/{b} {c}/{c}\n")
+
+
+# ---------------------------------------------------------------------------
+# Attention overlays and GIFs
+# ---------------------------------------------------------------------------
+
+def show_att_on_image(img, att):
+    """Overlay a [H, W] attention map on an RGB [H, W, 3] image (jet)."""
+    import cv2
+
+    heatmap = cv2.applyColorMap(np.uint8(255 * att), cv2.COLORMAP_JET)
+    heatmap = np.float32(heatmap[..., ::-1]) / 255
+    cam = heatmap + np.float32(img)
+    cam = cam / cam.max()
+    return cam
+
+
+def dump_gif(fname, frames_uint8, duration=50):
+    from PIL import Image
+
+    pil = [Image.fromarray(f).convert("RGB") for f in frames_uint8]
+    pil[0].save(fname, format="GIF", append_images=pil[1:], save_all=True, duration=duration, loop=0)
+
+
+def dump_attentions(output_path, idx, name, attn_frames, folder="dump"):
+    """attn_frames: list (per sample) of lists of [H, W, 3] float frames."""
+    out_dir = _ensure_dir(os.path.join(output_path, folder))
+    for k, i in enumerate(np.asarray(idx).tolist()):
+        frames = [_to_uint8(f) for f in attn_frames[k]]
+        dump_gif(os.path.join(out_dir, f"{i}_{name}.gif"), frames, duration=50)
+
+
+def dump_meshes_viz(output_path, idx, name, meshes, folder="dump", n_views=15, image_size=320):
+    """Turntable GIF per mesh via matplotlib 3D (pyrender-free stand-in for
+    util_vis.py:348-405)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    out_dir = _ensure_dir(os.path.join(output_path, folder))
+    for k, i in enumerate(np.asarray(idx).tolist()):
+        verts, faces = meshes[k]
+        if len(verts) == 0:
+            continue
+        v = np.asarray(verts, np.float32)
+        v = v - v.mean(0)
+        v = v / (np.abs(v).max() + 1e-8)
+        frames = []
+        for azim in np.linspace(0, 360, n_views, endpoint=False):
+            fig = plt.figure(figsize=(image_size / 100, image_size / 100), dpi=100)
+            ax = fig.add_subplot(111, projection="3d")
+            tri = v[np.asarray(faces)]
+            pc = Poly3DCollection(tri, alpha=1.0, facecolor="#c8c8dc", edgecolor="none")
+            ax.add_collection3d(pc)
+            ax.set_xlim(-0.7, 0.7); ax.set_ylim(-0.7, 0.7); ax.set_zlim(-0.7, 0.7)
+            ax.view_init(elev=15, azim=azim)
+            ax.set_axis_off()
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+            frames.append(buf.copy())
+            plt.close(fig)
+        dump_gif(os.path.join(out_dir, f"{i}_{name}.gif"), frames, duration=100)
+
+
+# ---------------------------------------------------------------------------
+# HTML gallery (util_vis.py:449-511): self-contained base64 report
+# ---------------------------------------------------------------------------
+
+def create_gif_html(dump_dir, html_path, skip_every=1):
+    if not os.path.isdir(dump_dir):
+        return
+    files = sorted(os.listdir(dump_dir))
+    by_sample = {}
+    for f in files:
+        stem, ext = os.path.splitext(f)
+        if ext.lower() not in (".png", ".gif"):
+            continue
+        sample = stem.split("_")[0]
+        by_sample.setdefault(sample, []).append(f)
+    samples = sorted(by_sample, key=lambda s: int(s) if s.isdigit() else 0)[::skip_every]
+    rows = []
+    for s in samples:
+        cells = []
+        for f in by_sample[s]:
+            data = base64.b64encode(open(os.path.join(dump_dir, f), "rb").read()).decode()
+            mime = "image/gif" if f.endswith(".gif") else "image/png"
+            cells.append(
+                f'<td><img src="data:{mime};base64,{data}" width="224"/><br/>{f}</td>'
+            )
+        rows.append(f"<tr><th>{s}</th>{''.join(cells)}</tr>")
+    html = (
+        "<html><head><style>table{border-collapse:collapse}td,th{border:1px solid #999;"
+        "padding:4px;font-family:monospace}</style></head><body><table>"
+        + "".join(rows)
+        + "</table></body></html>"
+    )
+    with open(html_path, "w") as f:
+        f.write(html)
