@@ -1,0 +1,216 @@
+"""Single-image inference CLI.
+
+``python demo.py --yaml=options/shape.yaml --task=shape --datadir=examples
+  --eval.vox_res=128 --ckpt=<checkpoint>``
+
+Reference parity (demo.py): mask -> bbox -> 1.2x square crop -> 224 resize,
+fixed intrinsics f=1.3875, per-image reconstruction with mesh + attention
+dumps (shape task) or textured seen-surface OBJ export (depth task).
+"""
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import PIL.Image
+
+import jax
+import jax.numpy as jnp
+
+from zeroshape_tpu import camera, vis
+from zeroshape_tpu.config import parse_arguments, set_options
+from zeroshape_tpu.data import common
+from zeroshape_tpu.metrics import eval3d
+from zeroshape_tpu.ops.marching_cubes import marching_cubes_mesh, sample_surface_points
+
+
+def get_image(opt, image_fname, mask_fname):
+    image = PIL.Image.open(image_fname).convert("RGB")
+    mask = PIL.Image.open(mask_fname).convert("L")
+    mask_np = np.array(mask)
+    mask_np = (mask_np >= 127).astype(np.float32)
+    bbox = common.get_bbox_from_mask(mask_np, 0.5, min_pixels=0)
+    assert bbox is not None, "Empty mask!"
+    rgba = PIL.Image.merge("RGBA", (*image.split(), mask))
+    rgba = common.square_crop(rgba, bbox)
+    if rgba.size != (opt.W, opt.H):
+        rgba = rgba.resize((opt.W, opt.H))
+    arr = common.to_float_chw_free(rgba)
+    rgb, m = arr[..., :3], arr[..., 3:]
+    if opt.data.get("bgcolor") is not None:
+        rgb = rgb * m + opt.data.bgcolor * (1 - m)
+        m = (m > 0.5).astype(np.float32)
+    return rgb, m
+
+
+def prepare_data(opt):
+    img_dir = os.path.join(opt.datadir, "images")
+    image_names = sorted(
+        n for n in os.listdir(img_dir) if n.endswith((".png", ".jpg"))
+    )
+    data_list, name_list = [], []
+    for i, image_name in enumerate(image_names):
+        mask_name = image_name[:-4] + ".png"
+        rgb, m = get_image(
+            opt,
+            os.path.join(opt.datadir, "images", image_name),
+            os.path.join(opt.datadir, "masks", mask_name),
+        )
+        var = {
+            "rgb_input_map": rgb[None],
+            "mask_input_map": m[None],
+            "intr": common.fixed_intrinsics(opt.H, opt.W)[None],
+            "idx": np.asarray([i + 1], np.int64),
+        }
+        data_list.append(var)
+        name_list.append(image_name[:-4])
+    return data_list, name_list
+
+
+def main():
+    opt_cmd = parse_arguments(sys.argv[1:])
+    opt = set_options(opt_cmd, verbose=False, safe_check=False)
+
+    task_yaml = os.path.basename(opt.yaml).split(".")[0].split("_")[0]
+    if task_yaml != opt.task:
+        raise ValueError(
+            "Detected different tasks between specified and the yaml, please double check!"
+        )
+
+    from zeroshape_tpu.runtime.checkpoint import load_torch_checkpoint, merge_params, restore_checkpoint
+
+    if opt.task == "shape":
+        from zeroshape_tpu.models.graph_shape import ShapeGraph as Graph
+    else:
+        from zeroshape_tpu.models.graph_depth import DepthGraph as Graph
+
+    model = Graph.from_opt(opt)
+    data_list, name_list = prepare_data(opt)
+    print(f"==> sample data loaded from folder: {opt.datadir}")
+
+    init_batch = {
+        k: jnp.asarray(v)
+        for k, v in data_list[0].items()
+        if k in ("rgb_input_map", "mask_input_map", "depth_input_map", "intr")
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        init_batch,
+        train=False,
+    )
+    variables = dict(variables)
+    variables.setdefault("batch_stats", {})
+
+    if opt.get("ckpt"):
+        if os.path.isdir(opt.ckpt):
+            payload = restore_checkpoint(opt.ckpt)
+            params, stats = payload["params"], payload["batch_stats"]
+            print(
+                "resuming from epoch {} (iteration {}, best_val {:.4f})".format(
+                    int(payload["epoch"]) + 1, int(payload["iter"]), float(payload["best_val"])
+                )
+            )
+        else:
+            params, stats, report, meta = load_torch_checkpoint(opt.ckpt, graph=opt.task)
+            if meta.get("epoch") is not None:
+                print(
+                    "resuming from epoch {} (iteration {}, best_val {:.4f})".format(
+                        meta["epoch"] + 1, meta["iter"], meta["best_val"]
+                    )
+                )
+        variables["params"] = merge_params(variables["params"], params)
+        if stats:
+            variables["batch_stats"] = merge_params(variables["batch_stats"], stats)
+        print("==> checkpoint loaded")
+
+    save_folder = os.path.join(opt.datadir, "preds")
+    if os.path.isdir(save_folder):
+        shutil.rmtree(save_folder)
+    os.makedirs(save_folder)
+    output_path = opt.datadir
+
+    vox = opt.eval.vox_res
+    lo, hi = opt.eval.range
+    S = vox + 1
+
+    @jax.jit
+    def forward(batch):
+        return model.apply(variables, batch, train=False, mutable=False)
+
+    @jax.jit
+    def decode_grid(latent_depth, latent_semantic):
+        def run(mdl, latent, sem, pts):
+            caches = mdl.impl_network.encode(latent, sem)
+            occ, attn = mdl.impl_network.decode(caches, pts)
+            return occ, attn
+
+        grid_pts = eval3d.get_dense_3D_grid(vox, (lo, hi))
+
+        def decode_fn(pts):
+            occ, _ = model.apply(variables, latent_depth, latent_semantic, pts, method=run)
+            return occ
+
+        occ = eval3d.occupancy_grid(decode_fn, grid_pts, batch_size=1, tile_points=S * S)
+        return occ.reshape(1, S, S, S)
+
+    for i, var in enumerate(data_list):
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in var.items()
+            if k in ("rgb_input_map", "mask_input_map", "intr")
+        }
+        out = forward(batch)
+        idx = var["idx"]
+        if opt.task == "shape":
+            level = decode_grid(out["latent_depth"], out["latent_semantic"])
+            verts, faces = marching_cubes_mesh(np.asarray(level[0]))
+            verts = verts / S * (hi - lo) + lo
+            vis.dump_images(
+                output_path, [name_list[i]], "image_input", var["rgb_input_map"], folder="preds"
+            )
+            vis.dump_images(
+                output_path, [name_list[i]], "mask_input", var["mask_input_map"], folder="preds"
+            )
+            vis.dump_meshes(
+                output_path, [name_list[i]], "mesh", [(verts, faces)], folder="preds"
+            )
+            vis.dump_meshes_viz(
+                output_path, [name_list[i]], "mesh_viz", [(verts, faces)], folder="preds"
+            )
+        else:
+            depth = np.asarray(out["depth_pred"])[0, ..., 0]  # [H, W]
+            seen_fixed = np.asarray(
+                camera.unproj_depth(jnp.asarray(depth)[None], jnp.asarray(var["intr"]))
+            ).reshape(opt.H, opt.W, 3)
+            seen_pred = np.asarray(
+                camera.unproj_depth(jnp.asarray(depth)[None], out["intr_pred"])
+            ).reshape(opt.H, opt.W, 3)
+            m = var["mask_input_map"][0]
+            seen_fixed = seen_fixed * m + (1 - m) * -1
+            seen_pred = seen_pred * m + (1 - m) * -1
+            vis.dump_images(
+                output_path, [name_list[i]], "image_input", var["rgb_input_map"], folder="preds"
+            )
+            vis.dump_images(
+                output_path, [name_list[i]], "mask_input", var["mask_input_map"], folder="preds"
+            )
+            vis.dump_depths(
+                output_path, [name_list[i]], "depth_est", np.asarray(out["depth_pred"]),
+                var["mask_input_map"], rescale=True, folder="preds",
+            )
+            vis.dump_seen_surface(
+                output_path, [name_list[i]], "seen_surface_fixed", "image_input",
+                [seen_fixed], folder="preds",
+            )
+            vis.dump_seen_surface(
+                output_path, [name_list[i]], "seen_surface_pred", "image_input",
+                [seen_pred], folder="preds",
+            )
+        print(f"[{i + 1}/{len(data_list)}] {name_list[i]} done")
+
+    print(f"==> results saved at folder: {opt.datadir}/preds")
+
+
+if __name__ == "__main__":
+    main()

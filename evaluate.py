@@ -1,0 +1,40 @@
+"""Evaluation CLI: ``python evaluate.py --yaml=options/shape.yaml --data.dataset_test=pix3d
+[--ckpt=... | --resume] [--eval.brute_force] [--eval.vox_res=128]``.
+
+Reference parity (evaluate.py:8-38): writes ``data_list.txt``, runs the full
+test split, emits per-sample/per-category/summary result files.
+"""
+
+import importlib
+import os
+import sys
+
+from zeroshape_tpu.config import parse_arguments, set_options
+from zeroshape_tpu.data.base import default_collate
+
+
+def main():
+    opt_cmd = parse_arguments(sys.argv[1:])
+    opt = set_options(opt_cmd, verbose=True, safe_check=False)
+
+    task = os.path.basename(opt.yaml).split(".")[0].split("_")[0]
+    engine = importlib.import_module(f"zeroshape_tpu.runtime.{task}_engine")
+
+    runner = engine.Runner(opt)
+    runner.load_dataset(eval_split="test", load_train=False)
+    runner.test_data.id_filename_mapping(
+        opt, os.path.join(opt.output_path, "data_list.txt")
+    )
+    runner.build_networks()
+    init_batch = default_collate([runner.test_data[0]])
+    runner.setup_optimizer(init_batch)
+    if opt.get("ckpt"):
+        runner.load_weights(opt.ckpt)
+    else:
+        runner.restore_checkpoint(best=True, evaluate=True)
+    runner.setup_visualizer(test=True)
+    runner.evaluate(ep=0, training=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""End-to-end engine integration on a generated on-disk fixture dataset:
+train one epoch of the tiny shape model, evaluate, check artifacts."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from zeroshape_tpu.config import Config, set_options
+
+
+def make_fixture_dataset(root, n_objects=2, imgs_per_object=2, H=64):
+    """Create a mini synthetic-train-data tree matching the reference layout."""
+    from PIL import Image
+
+    base = os.path.join(root, "train_data", "testset")
+    cat = "cat1"
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(base, "lists"), exist_ok=True)
+    for sub in ("images_processed", "masks", "depth", "pointclouds", "gt_sdf"):
+        os.makedirs(os.path.join(base, sub, cat), exist_ok=True)
+    for sub in ("intr", "extr"):
+        os.makedirs(os.path.join(base, "camera_data", sub, cat), exist_ok=True)
+
+    train_lines, val_lines = [], []
+    f = 1.3875 * H
+    K = np.array([[f, 0, H / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    for o in range(n_objects):
+        obj = f"obj{o}"
+        pc = rng.normal(size=(512, 3)).astype(np.float32) * 0.3
+        np.save(os.path.join(base, "pointclouds", cat, f"{cat}_{obj}.npy"), pc)
+        np.save(
+            os.path.join(base, "gt_sdf", cat, f"{cat}_{obj}.npy"),
+            {
+                "sample_pt": rng.normal(size=(256, 3)).astype(np.float32) * 0.4,
+                "sample_sdf": rng.normal(size=(256,)).astype(np.float32) * 0.1,
+            },
+        )
+        for s in range(imgs_per_object):
+            name = f"{cat}_{obj}_{s:03d}"
+            img = (rng.uniform(0, 255, (H, H, 3))).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(base, "images_processed", cat, name + ".png")
+            )
+            mask = np.zeros((H, H), np.uint8)
+            mask[16:48, 16:48] = 255
+            Image.fromarray(mask).save(os.path.join(base, "masks", cat, name + ".png"))
+            depth = np.zeros((H, H), np.float32)
+            depth[16:48, 16:48] = rng.uniform(0.5, 1.0, (32, 32))
+            np.save(os.path.join(base, "depth", cat, name + ".npy"), depth)
+            np.save(os.path.join(base, "camera_data", "intr", cat, name + ".npy"), K)
+            Rt = np.concatenate([np.eye(3), [[0], [0], [1.78]]], axis=1).astype(np.float32)
+            np.save(os.path.join(base, "camera_data", "extr", cat, name + ".npy"), Rt)
+            line = name + ".png"
+            (train_lines if s == 0 else val_lines).append(line)
+    with open(os.path.join(base, "lists", f"{cat}_train.list"), "w") as fh:
+        fh.write("\n".join(train_lines))
+    with open(os.path.join(base, "lists", f"{cat}_val.list"), "w") as fh:
+        fh.write("\n".join(val_lines))
+    return root
+
+
+def tiny_yaml(tmp_path, data_root):
+    cfg = {
+        "group": "shape",
+        "name": "itest",
+        "yaml": None,
+        "load": None,
+        "resume": False,
+        "debug": False,
+        "profile": False,
+        "seed": 0,
+        "batch_size": 2,
+        "image_size": [64, 64],
+        "max_epoch": 1,
+        "output_root": str(tmp_path / "output"),
+        "arch": {
+            "num_heads": 8,
+            "latent_dim": 64,
+            "win_size": 16,
+            "depth": {"encoder": "resnet", "n_blocks": 2, "dsp": 1, "pretrained": None},
+            "rgb": {"encoder": None, "n_blocks": 2},
+            "impl": {
+                "n_channels": 64,
+                "att_blocks": 2,
+                "mlp_ratio": 2.0,
+                "posenc_perlayer": False,
+                "mlp_layers": 4,
+                "posenc_3D": 0,
+                "skip_in": [2],
+            },
+        },
+        "eval": {
+            "batch_size": 2,
+            "brute_force": False,
+            "n_vis": 1,
+            "vox_res": 16,
+            "num_points": 256,
+            "range": [-1.5, 1.5],
+            "icp": False,
+            "f_thresholds": [0.01, 0.05, 0.2],
+        },
+        "data": {
+            "root": str(data_root),
+            "num_classes_test": 2,
+            "max_img_cat": None,
+            "dataset_train": "synthetic",
+            "dataset_test": "synthetic",
+            "num_workers": 2,
+            "bgcolor": 1,
+            "synthetic": {"subset": "testset", "percentage": 1},
+        },
+        "training": {
+            "n_sdf_points": 64,
+            "shape_loss": {"impt_weight": 1, "impt_thres": 0.01},
+            "depth_loss": {"grad_reg": 0.1, "depth_inv": True, "mask_shrink": False},
+        },
+        "loss_weight": {"shape": 1, "depth": None, "intr": None},
+        "optim": {
+            "lr": 1e-4,
+            "lr_ft": 1e-5,
+            "weight_decay": 0.05,
+            "fix_dpt": False,
+            "clip_norm": None,
+            "amp": False,
+            "accum": 1,
+            "sched": False,
+        },
+        "freq": {
+            "print": 1,
+            "print_eval": 1,
+            "scalar": 10,
+            "vis": 10,
+            "save_vis": 10,
+            "ckpt_latest": 10,
+            "eval": 1,
+        },
+    }
+    path = tmp_path / "shape_test.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+@pytest.mark.slow
+def test_shape_engine_end_to_end(tmp_path):
+    data_root = make_fixture_dataset(str(tmp_path))
+    yaml_path = tiny_yaml(tmp_path, data_root)
+    opt = set_options(Config({"yaml": yaml_path}), safe_check=False)
+
+    from zeroshape_tpu.data.base import default_collate
+    from zeroshape_tpu.runtime.shape_engine import Runner
+
+    runner = Runner(opt)
+    runner.load_dataset()
+    assert len(runner.train_data) == 2 and len(runner.test_data) == 2
+    runner.build_networks()
+    runner.setup_optimizer(default_collate([runner.train_data[0]]))
+    runner.restore_checkpoint()
+    runner.train()
+
+    out = opt.output_path
+    assert os.path.isdir(os.path.join(out, "latest.ckpt"))
+    # validation ran at ep 0 and ep 1; best checkpoint selected
+    assert os.path.isdir(os.path.join(out, "best.ckpt"))
+
+    # explicit evaluation pass writes the result files
+    runner.evaluate(ep=1, training=False)
+    assert os.path.isfile(os.path.join(out, "synthetic_full_results.txt"))
+    assert os.path.isfile(os.path.join(out, "quantitative_synthetic.txt"))
+    assert os.path.isfile(os.path.join(out, "cd_cat.txt"))
+    lines = open(os.path.join(out, "synthetic_full_results.txt")).read().splitlines()
+    assert len(lines) == 1 + len(runner.test_data)
+
+    # resume restores counters
+    opt2 = opt.unfrozen_copy()
+    opt2.resume = True
+    runner2 = Runner(opt2.freeze())
+    runner2.load_dataset()
+    runner2.build_networks()
+    runner2.setup_optimizer(default_collate([runner2.train_data[0]]))
+    runner2.restore_checkpoint()
+    assert runner2.iter_start > 0

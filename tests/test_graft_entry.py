@@ -1,0 +1,31 @@
+import numpy as np
+import pytest
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_entry_compiles_tiny():
+    """entry() builds the full-size model; too slow for CPU CI, but the tiny
+    equivalent must jit end to end."""
+    import jax
+
+    import __graft_entry__ as ge
+    from zeroshape_tpu.models.graph_shape import ShapeGraph
+
+    opt = ge._tiny_opt().freeze()
+    model = ShapeGraph.from_opt(opt)
+    batch = ge._batch(B=1, H=opt.H, n_pts=32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False, mutable=False))
+    out = fwd(variables, batch)
+    assert np.isfinite(np.asarray(out["pred_sample_occ"])).all()

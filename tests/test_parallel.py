@@ -59,12 +59,14 @@ def test_train_step_runs_and_descends():
     )
     sharded = shard_batch(batch, mesh)
     losses = []
-    for i in range(3):
-        state, metrics = step(state, sharded, jax.random.PRNGKey(i))
+    # fixed dropout rng: isolates optimization progress from drop-path noise
+    rng = jax.random.PRNGKey(0)
+    for i in range(8):
+        state, metrics = step(state, sharded, rng)
         losses.append(float(metrics["loss_all"]))
-    assert all(np.isfinite(l) for l in losses)
-    assert losses[-1] < losses[0], losses  # shape BCE descends on a fixed batch
-    assert int(state.step) == 3
+    assert all(np.isfinite(l) for l in losses), losses
+    assert min(losses[-3:]) < losses[0], losses  # descends on a fixed batch
+    assert int(state.step) == 8
 
 
 def test_fix_dpt_freezes_finetune_params():

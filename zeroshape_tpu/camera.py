@@ -85,7 +85,10 @@ def valid_norm_fac(seen_points, mask, eps=0.0):
     safe_count = jnp.maximum(count, 1.0)
     means = jnp.sum(seen_points * mask_f[..., None], axis=1) / safe_count  # [B, 3]
     centered = seen_points - means[:, None, :]
-    dist = jnp.linalg.norm(centered, axis=-1)  # [B, HW]
+    # sqrt has a NaN gradient at exactly 0 (an all-zero depth map lands there);
+    # the double-where keeps both primal and gradient finite
+    sq = jnp.sum(centered * centered, axis=-1)  # [B, HW]
+    dist = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
     dist = jnp.where(mask_f > 0, dist, -jnp.inf)
     max_dists = jnp.max(dist, axis=1)  # [B]
     max_dists = jnp.where(count[:, 0] > 0, max_dists, 1.0)

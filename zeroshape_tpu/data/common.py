@@ -5,6 +5,33 @@ from __future__ import annotations
 import numpy as np
 import PIL.Image
 
+from zeroshape_tpu.data import native
+
+
+def load_rgb(path: str, out_hw=None) -> np.ndarray:
+    """float32 [H, W, 3] in [0, 1]. Uses the native C++ decoder when the
+    image is already at target size (the *_processed dataset layouts);
+    falls back to PIL (and PIL's resampling) otherwise."""
+    if native.available():
+        size = native.image_size(path)
+        if size is not None and (out_hw is None or (size[0], size[1]) == tuple(out_hw)):
+            out = native.decode_image(path, (size[0], size[1]), channels=3)
+            if out is not None:
+                return out
+    img = PIL.Image.open(path).convert("RGB")
+    if out_hw is not None and img.size != (out_hw[1], out_hw[0]):
+        img = img.resize((out_hw[1], out_hw[0]))
+    return to_float_chw_free(img)
+
+
+def load_npy_f32(path: str) -> np.ndarray:
+    """float32 .npy load through the native reader when available."""
+    if native.available():
+        out = native.load_npy(path)
+        if out is not None:
+            return out
+    return np.load(path).astype(np.float32)
+
 
 def to_float_chw_free(image: "PIL.Image.Image") -> np.ndarray:
     """PIL -> float32 HWC in [0, 1] (torchvision to_tensor, but NHWC)."""

@@ -58,7 +58,7 @@ class OcrtocDataset(base.Dataset):
 
     def get_depth(self, idx):
         category, name = self.list[idx]
-        depth = np.load(
+        depth = common.load_npy_f32(
             os.path.join(self.path, "depth_np", category, name + ".npy")
         ).astype(np.float32)[..., None]
         assert depth.shape[0] == self.opt.H
@@ -83,13 +83,11 @@ class OcrtocDataset(base.Dataset):
         sample["intr"] = K
 
         category, name = self.list[idx]
-        image = PIL.Image.open(
-            os.path.join(self.path, "images_processed", category, name + ".png")
-        ).convert("RGB")
+        rgb = common.load_rgb(
+            os.path.join(self.path, "images_processed", category, name + ".png"),
+            out_hw=(opt.H, opt.W),
+        )
         depth, mask = self.get_depth(idx)
-        if image.size != (opt.W, opt.H):
-            image = image.resize((opt.W, opt.H))
-        rgb = common.to_float_chw_free(image)
         if opt.data.get("bgcolor") is not None:
             rgb = rgb * mask + opt.data.bgcolor * (1 - mask)
         sample["rgb_input_map"] = rgb

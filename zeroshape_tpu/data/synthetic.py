@@ -82,14 +82,16 @@ class SyntheticDataset(base.Dataset):
 
     def get_image(self, subset, category, object_name, sample_id):
         fname = self._fname(subset, category, object_name, sample_id)
-        image = PIL.Image.open(
-            os.path.join(self.path, subset, "images_processed", fname + ".png")
-        ).convert("RGB")
-        return image
+        return common.load_rgb(
+            os.path.join(self.path, subset, "images_processed", fname + ".png"),
+            out_hw=(self.opt.H, self.opt.W),
+        )
 
     def get_depth(self, subset, category, object_name, sample_id):
         fname = self._fname(subset, category, object_name, sample_id)
-        depth = np.load(os.path.join(self.path, subset, "depth", fname + ".npy"))
+        depth = common.load_npy_f32(
+            os.path.join(self.path, subset, "depth", fname + ".npy")
+        )
         depth = depth.astype(np.float32)[..., None]  # [H, W, 1]
         assert depth.shape[0] == self.opt.H
         mask = (depth != 0).astype(np.float32)
@@ -133,11 +135,9 @@ class SyntheticDataset(base.Dataset):
         sample["pose_gt"] = common.pose_from_Rt(Rt)
         sample["intr"] = K
 
-        image = self.get_image(subset, category, object_name, sample_id)
+        rgb = self.get_image(subset, category, object_name, sample_id)
         depth, mask = self.get_depth(subset, category, object_name, sample_id)
-        if image.size != (opt.W, opt.H):
-            image = image.resize((opt.W, opt.H))
-        sample["rgb_input_map"] = common.to_float_chw_free(image)
+        sample["rgb_input_map"] = rgb
         sample["mask_input_map"] = mask
         sample["depth_input_map"] = depth
 

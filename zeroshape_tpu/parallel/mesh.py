@@ -23,6 +23,26 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
+    """Largest mesh (<= device count) whose size divides the global batch.
+
+    The reference requires batch_size % world_size == 0 implicitly
+    (shape_engine.py:33 divides); here an awkward batch degrades to fewer
+    devices instead of crashing, with a warning.
+    """
+    n_dev = len(jax.devices())
+    n = max(k for k in range(1, n_dev + 1) if batch_size % k == 0)
+    if n < n_dev:
+        import warnings
+
+        warnings.warn(
+            f"batch_size={batch_size} is not divisible by {n_dev} devices; "
+            f"using a {n}-device data mesh. Pick a multiple of {n_dev} for "
+            "full utilization."
+        )
+    return make_mesh(n, axis_name)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Leading-axis (batch) sharding for input pytrees."""
     return NamedSharding(mesh, P(axis_name))

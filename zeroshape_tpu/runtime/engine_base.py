@@ -17,7 +17,7 @@ from typing import Any, Optional
 import jax
 import numpy as np
 
-from zeroshape_tpu.parallel.mesh import make_mesh, shard_batch
+from zeroshape_tpu.parallel.mesh import make_mesh, make_mesh_for_batch, shard_batch
 from zeroshape_tpu.parallel import train as ptrain
 from zeroshape_tpu.runtime import checkpoint as ckpt_util
 from zeroshape_tpu.runtime.logging import MetricLogger, SmoothedValue, log_print
@@ -46,7 +46,7 @@ class RunnerBase:
                 if filename.startswith("vis") and os.path.isdir(full):
                     shutil.rmtree(full)
         os.makedirs(out, exist_ok=True)
-        self.mesh = make_mesh()
+        self.mesh = make_mesh_for_batch(opt.batch_size)
         self.tb = None
         self.best_val = np.inf
         self.best_ep = 1
