@@ -96,33 +96,92 @@ def _all_cube_indices(S):
     return jnp.stack([I.reshape(-1), J.reshape(-1), K.reshape(-1)], axis=-1)
 
 
+def _dense_slab_areas(slab_vals, isoval):
+    """Per-triangle areas for a slab of cubes, with NO data-dependent gathers
+    from the level grid: the 8 corner values come from shifted slices of the
+    slab (the grid is regular), edge interpolation parameters are elementwise,
+    and triangle geometry is selected from the 12 edge-local vertices with
+    where-chains driven by tiny 256-entry table lookups. Everything fuses
+    into VPU work — this is what makes the area pass cheap on TPU (the
+    gather formulation serializes ~17M random loads).
+
+    Args:
+      slab_vals: [m+1, S, S] level values (z-slab including the far plane).
+    Returns:
+      areas [m, S-1, S-1, MAX_TRIS] (0 for inactive table slots).
+    """
+    S = slab_vals.shape[1]
+    n = S - 1
+    m = slab_vals.shape[0] - 1
+
+    def view(corner):
+        dx, dy, dz = (int(v) for v in corner)
+        return slab_vals[dx : dx + m, dy : dy + n, dz : dz + n]
+
+    vals = [view(CORNERS[i]) for i in range(8)]
+    case = sum(
+        (vals[i] >= isoval).astype(jnp.int32) * (1 << i) for i in range(8)
+    )  # [m, n, n]
+
+    # local edge-vertex coordinates (relative to the cube origin — areas are
+    # translation invariant, so absolute positions never materialize)
+    everts = []  # 12 x (3 coordinate arrays or python floats)
+    for e in range(12):
+        a, b = int(EDGES[e, 0]), int(EDGES[e, 1])
+        va, vb = vals[a], vals[b]
+        denom = vb - va
+        t = jnp.where(jnp.abs(denom) > 1e-12, (isoval - va) / jnp.where(denom == 0, 1.0, denom), 0.5)
+        t = jnp.clip(t, 0.0, 1.0)
+        coords = []
+        for ci in range(3):
+            ca, cb = float(CORNERS[a][ci]), float(CORNERS[b][ci])
+            coords.append(ca + t * (cb - ca) if ca != cb else ca)
+        everts.append(coords)
+
+    tri_tab = jnp.asarray(TRI_TABLE)  # [256, T, 3]
+    zeros = jnp.zeros_like(case, dtype=jnp.float32)
+
+    def select_coord(eid, ci):
+        out = zeros
+        for e in range(12):
+            ve = everts[e][ci]
+            ve = ve if isinstance(ve, jnp.ndarray) else jnp.full_like(zeros, ve)
+            out = jnp.where(eid == e, ve, out)
+        return out
+
+    slot_areas = []
+    for slot in range(MAX_TRIS):
+        eids = [jnp.take(tri_tab[:, slot, k], case) for k in range(3)]
+        v = [
+            [select_coord(eids[k], ci) for ci in range(3)] for k in range(3)
+        ]  # [vert][coord]
+        e1 = [v[1][c] - v[0][c] for c in range(3)]
+        e2 = [v[2][c] - v[0][c] for c in range(3)]
+        cx = e1[1] * e2[2] - e1[2] * e2[1]
+        cy = e1[2] * e2[0] - e1[0] * e2[2]
+        cz = e1[0] * e2[1] - e1[1] * e2[0]
+        area = 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
+        slot_areas.append(jnp.where(eids[0] >= 0, area, 0.0))
+    return jnp.stack(slot_areas, axis=-1)  # [m, n, n, T]
+
+
 def triangle_areas(level, isoval=0.5, slab=8):
     """Areas of all candidate triangles, [n_cubes * MAX_TRIS] (0 = inactive).
 
-    Processes the grid in z-slabs via lax.map to bound peak memory.
+    Processes the grid in z-slabs via lax.map to bound peak memory; each slab
+    is dense shifted-slice math (see :func:`_dense_slab_areas`).
     """
     S = level.shape[0]
     n = S - 1
-    assert n % slab == 0 or slab >= n, "slab must divide S-1"
     slab = min(slab, n)
-    r = jnp.arange(n, dtype=jnp.int32)
-    J, K = jnp.meshgrid(r, r, indexing="ij")
-    jk = jnp.stack([J.reshape(-1), K.reshape(-1)], axis=-1)  # [n*n, 2]
+    assert n % slab == 0, "slab must divide S-1"
 
     def slab_fn(i0):
-        iis = i0 + jnp.arange(slab, dtype=jnp.int32)
-        base = jnp.concatenate(
-            [
-                jnp.repeat(iis, n * n)[:, None],
-                jnp.tile(jk, (slab, 1)),
-            ],
-            axis=-1,
-        )  # [slab*n*n, 3]
-        tv, valid = _cube_triangles(level, base, isoval)
-        return jnp.where(valid, _tri_area(tv), 0.0)  # [slab*n*n, T]
+        slab_vals = jax.lax.dynamic_slice(level, (i0, 0, 0), (slab + 1, S, S))
+        return _dense_slab_areas(slab_vals, isoval)  # [slab, n, n, T]
 
     starts = jnp.arange(0, n, slab, dtype=jnp.int32)
-    areas = jax.lax.map(slab_fn, starts)  # [n/slab, slab*n*n, T]
+    areas = jax.lax.map(slab_fn, starts)  # [n/slab, slab, n, n, T]
     return areas.reshape(-1)
 
 
