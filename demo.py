@@ -148,11 +148,12 @@ def main():
         grid_pts = eval3d.get_dense_3D_grid(vox, (lo, hi))
 
         def decode_fn(pts):
-            occ, _ = model.apply(variables, latent_depth, latent_semantic, pts, method=run)
-            return occ
+            return model.apply(variables, latent_depth, latent_semantic, pts, method=run)
 
-        occ = eval3d.occupancy_grid(decode_fn, grid_pts, batch_size=1, tile_points=S * S)
-        return occ.reshape(1, S, S, S)
+        occ, attn = eval3d.occupancy_grid_with_attn(
+            decode_fn, grid_pts, batch_size=1, vox_res=vox, tile_points=S * S
+        )
+        return occ.reshape(1, S, S, S), attn
 
     for i, var in enumerate(data_list):
         batch = {
@@ -163,7 +164,7 @@ def main():
         out = forward(batch)
         idx = var["idx"]
         if opt.task == "shape":
-            level = decode_grid(out["latent_depth"], out["latent_semantic"])
+            level, attn = decode_grid(out["latent_depth"], out["latent_semantic"])
             verts, faces = marching_cubes_mesh(np.asarray(level[0]))
             verts = verts / S * (hi - lo) + lo
             vis.dump_images(
@@ -172,6 +173,11 @@ def main():
             vis.dump_images(
                 output_path, [name_list[i]], "mask_input", var["mask_input_map"], folder="preds"
             )
+            feat_res = opt.H // opt.arch.win_size
+            frames = eval3d.attention_frames(
+                np.asarray(attn[0]), var["rgb_input_map"][0], vox, feat_res
+            )
+            vis.dump_attentions(output_path, [name_list[i]], "attn", [frames], folder="preds")
             vis.dump_meshes(
                 output_path, [name_list[i]], "mesh", [(verts, faces)], folder="preds"
             )

@@ -63,6 +63,76 @@ def occupancy_grid(decode_fn, points, batch_size, tile_points=16641):
     return jax.nn.sigmoid(occ)
 
 
+def occupancy_grid_with_attn(decode_fn, points, batch_size, vox_res, tile_points=16641):
+    """Grid decode that also returns z-averaged attention maps.
+
+    Args:
+      decode_fn: points [B, T, 3] -> (logits [B, T], attn [B, T, L]).
+      points: [(N+1)^3, 3] grid (x-major, as from get_dense_3D_grid).
+    Returns:
+      (occ [B, (N+1)^3] sigmoid, attn_xy [B, N+1, N+1, L]) — attention
+      averaged over the z axis (reference eval_3D.py:50-52).
+    """
+    S = vox_res + 1
+    P = points.shape[0]
+    n_tiles = -(-P // tile_points)
+    pad = n_tiles * tile_points - P
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    tiles = pts.reshape(n_tiles, tile_points, 3)
+
+    def tile_fn(tile):
+        batch_pts = jnp.broadcast_to(tile[None], (batch_size,) + tile.shape)
+        occ, attn = decode_fn(batch_pts)
+        return occ, attn
+
+    occ, attn = jax.lax.map(tile_fn, tiles)
+    occ = jnp.moveaxis(occ, 1, 0).reshape(batch_size, -1)[:, :P]
+    L = attn.shape[-1]
+    attn = jnp.moveaxis(attn, 1, 0).reshape(batch_size, -1, L)[:, :P]
+    attn = attn.reshape(batch_size, S, S, S, L).mean(axis=3)  # avg over z
+    return jax.nn.sigmoid(occ), attn
+
+
+def attention_frames(attn_xy, image, vox_res, feat_res, n_global=1):
+    """Serpentine sweep of attention overlays (reference eval_3D.py:60-80).
+
+    Args:
+      attn_xy: [S, S, n_global + feat_res^2] z-averaged attention of one sample.
+      image: [H, W, 3] float RGB in [0, 1].
+    Returns:
+      list of [H, W, 3] float frames.
+    """
+    import numpy as np_
+
+    from zeroshape_tpu.ops.image import resize_bilinear
+    from zeroshape_tpu.vis import show_att_on_image
+
+    H, W = image.shape[:2]
+    N = vox_res
+    attn_xy = np_.asarray(attn_xy)
+    attn_global = attn_xy[..., :n_global].sum(-1, keepdims=True)  # [S, S, 1]
+    attn_local = attn_xy[..., n_global:].reshape(
+        attn_xy.shape[0], attn_xy.shape[1], feat_res, feat_res
+    )
+    attn_vis = attn_global[..., None] + attn_local  # [S, S, fr, fr]
+    frames = []
+    for row in range(0, N, 8):
+        col_range = (
+            range(0, N // 8 * 8 + 1, 8) if row % 16 == 0 else range(N // 8 * 8, -1, -8)
+        )
+        for col in col_range:
+            cur = attn_vis[col, row]  # x is col
+            cur = np_.asarray(
+                resize_bilinear(
+                    jnp.asarray(cur, jnp.float32)[None, :, :, None], (H, W),
+                    align_corners=False,
+                )
+            )[0, :, :, 0]
+            cur = cur / max(cur.max(), 1e-12)
+            frames.append(show_att_on_image(np_.asarray(image), cur))
+    return frames
+
+
 def normalize_pc(pc):
     """Center by mean; scale by max xy extent (reference eval_3D.py:93-102)."""
     assert pc.ndim == 3
