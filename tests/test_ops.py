@@ -209,3 +209,22 @@ def test_occupancy_grid_tiling():
     assert occ.shape == (2, 729)
     expected = jax.nn.sigmoid(-jnp.linalg.norm(pts, axis=-1) + 0.5)
     np.testing.assert_allclose(np.asarray(occ[0]), np.asarray(expected), rtol=1e-5)
+
+
+def test_brute_force_pruned_matches_exhaustive():
+    rng = np.random.default_rng(7)
+    # structured (non-isotropic) cloud so rotations are distinguishable
+    pc = (rng.normal(size=(400, 3)) * np.array([2.0, 1.0, 0.4])).astype(np.float32)
+    from zeroshape_tpu import camera
+
+    R_true = np.asarray(camera.get_rotation_sphere(4, 4, 4))[21]
+    gt = (pc @ R_true.T + rng.normal(scale=0.01, size=pc.shape)).astype(np.float32)
+    kw = dict(rot_batch=16, use_pallas=False, rot_samples=(4, 4, 4))
+    full = eval3d.brute_force_search(jnp.asarray(pc), jnp.asarray(gt), prune=None, **kw)
+    pruned = eval3d.brute_force_search(
+        jnp.asarray(pc), jnp.asarray(gt), prune=(200, 8), **kw
+    )
+    # the pruned search must find the same (or equally good) rotation
+    cd_full = float(full["acc"] + full["comp"]) / 2
+    cd_pruned = float(pruned["acc"] + pruned["comp"]) / 2
+    assert cd_pruned <= cd_full * 1.02 + 1e-5

@@ -15,6 +15,13 @@ from zeroshape_tpu.data.base import default_collate
 
 
 def main():
+    # multi-host (DCN) setup: only when launched under a multi-process
+    # coordinator; single-host multi-chip needs nothing here
+    if os.environ.get("ZEROSHAPE_MULTIHOST"):
+        import jax
+
+        jax.distributed.initialize()
+
     opt_cmd = parse_arguments(sys.argv[1:])
     opt = set_options(opt_cmd, verbose=True, safe_check=True)
     save_options_file(opt)

@@ -306,3 +306,45 @@ class BottleneckLinear(nn.Module):
 def softplus_beta(x, beta: float = 100.0):
     """torch Softplus(beta): log(1 + exp(beta x)) / beta, linear above 20/beta."""
     return jnp.where(x * beta > 20.0, x, jax.nn.softplus(x * beta) / beta)
+
+
+class CLIPFusionBlockConcat(nn.Module):
+    """Fuse semantic tokens with a global CLIP latent by concat-projection
+    (reference utils/layers.py:102-122; unused in shipped configs, kept for
+    the extension surface)."""
+
+    n_layers: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sem_latent, clip_latent):
+        # sem_latent [B, N, C], clip_latent [B, C]
+        C = sem_latent.shape[-1]
+        clip = jnp.broadcast_to(clip_latent[:, None, :], sem_latent.shape)
+        h = jnp.concatenate([sem_latent, clip], axis=-1)
+        for i in range(self.n_layers):
+            h = BottleneckLinear(dtype=self.dtype, name=f"bottleneck{i}")(h)
+        h = nn.Dense(C, dtype=self.dtype, name="proj")(h)
+        return nn.gelu(h) if self.act else h
+
+
+class CLIPFusionBlockAttn(nn.Module):
+    """Fuse via joint attention blocks, CLIP token first
+    (reference utils/layers.py:124-147)."""
+
+    n_layers: int = 1
+    num_heads: int = 8
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sem_latent, clip_latent):
+        h = jnp.concatenate([clip_latent[:, None, :], sem_latent], axis=1)
+        for i in range(self.n_layers):
+            h = ViTBlock(
+                self.num_heads, 4.0, qkv_bias=True, drop_path=0.1,
+                dtype=self.dtype, name=f"block{i}",
+            )(h, deterministic=True)
+        out = h[:, 1:, :]
+        return nn.gelu(out) if self.act else out

@@ -60,7 +60,10 @@ def _nn_one_way_xla(x1, x2, tile=1024):
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
-def _nn_kernel(x1_ref, x2_ref, dist_ref, idx_ref):
+def _nn_kernel(x1_ref, x2_ref, dist_ref, idx_ref, *, tile):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)
     a = x1_ref[0]  # [3, TILE] (coordinate-major: lanes = points)
     b = x2_ref[0]  # [3, M]
     na = jnp.sum(a * a, axis=0)  # [TILE]
@@ -69,8 +72,10 @@ def _nn_kernel(x1_ref, x2_ref, dist_ref, idx_ref):
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [TILE, M]
     d = na[:, None] + nb[None, :] - 2.0 * cross
-    dist_ref[0] = jnp.maximum(jnp.min(d, axis=1), 0.0)
-    idx_ref[0] = jnp.argmin(d, axis=1).astype(jnp.int32)
+    # the output block is the full [1, 1, Np] row (TPU block-shape rules);
+    # each grid step writes its tile slice
+    dist_ref[0, 0, pl.ds(i * tile, tile)] = jnp.maximum(jnp.min(d, axis=1), 0.0)
+    idx_ref[0, 0, pl.ds(i * tile, tile)] = jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
 def _nn_one_way_pallas(x1, x2, tile=256):
@@ -86,21 +91,23 @@ def _nn_one_way_pallas(x1, x2, tile=256):
     x1t = jnp.swapaxes(x1p, 1, 2)  # [B, 3, Np]
     x2t = jnp.swapaxes(x2p, 1, 2)  # [B, 3, Mp]
 
+    from functools import partial as _partial
+
     grid = (B, Np // tile)
     dist, idx = pl.pallas_call(
-        _nn_kernel,
+        _partial(_nn_kernel, tile=tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 3, tile), lambda b, i: (b, 0, i)),
             pl.BlockSpec((1, 3, Mp), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda b, i: (b, i)),
-            pl.BlockSpec((1, tile), lambda b, i: (b, i)),
+            pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Np), jnp.float32),
-            jax.ShapeDtypeStruct((B, Np), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Np), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Np * Mp * 3 + 3 * B * Np * Mp,
@@ -108,6 +115,8 @@ def _nn_one_way_pallas(x1, x2, tile=256):
             transcendentals=0,
         ),
     )(x1t, x2t)
+    dist = dist[:, 0]
+    idx = idx[:, 0]
     return dist[:, :N], jnp.minimum(idx[:, :N], M - 1)
 
 

@@ -235,8 +235,10 @@ class Runner(RunnerBase):
                 flip_xy=flip,
             )
             if opt.eval.get("brute_force"):
+                prune = opt.eval.get("bf_prune", (1024, 128))
                 accs, comps, fs, pred_n, gt_n = _brute_force_batch(
-                    pred_world, gt_view, tuple(opt.eval.f_thresholds)
+                    pred_world, gt_view, tuple(opt.eval.f_thresholds),
+                    prune=tuple(prune) if prune else None,
                 )
             else:
                 accs, comps, fs, pred_n, gt_n = score(pred_world, gt_view)
@@ -393,11 +395,11 @@ def _pad_batch(batch, target):
     return jax.tree.map(pad_leaf, batch)
 
 
-def _brute_force_batch(pred_world, gt_view, thresholds):
+def _brute_force_batch(pred_world, gt_view, thresholds, prune=(1024, 128)):
     accs, comps, fs, preds, gts = [], [], [], [], []
     for b in range(pred_world.shape[0]):
         res = eval3d.brute_force_search(
-            pred_world[b], gt_view[b], thresholds=thresholds
+            pred_world[b], gt_view[b], thresholds=thresholds, prune=prune
         )
         accs.append(res["acc"])
         comps.append(res["comp"])

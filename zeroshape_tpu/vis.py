@@ -63,6 +63,24 @@ def dump_depths(output_path, idx, name, depths, masks=None, rescale=False, folde
         plt.imsave(os.path.join(out_dir, f"{i}_{name}.png"), depth.squeeze(), cmap="viridis")
 
 
+def tb_image(tb, step, split, name, images, from_range=(0, 1), num_rows=4):
+    """Log an image grid to TensorBoard (reference util_vis.py:20-39)."""
+    if tb is None:
+        return
+    lo, hi = from_range
+    images = np.clip((np.asarray(images, np.float32) - lo) / (hi - lo), 0, 1)
+    if images.shape[-1] == 1:
+        images = np.repeat(images, 3, axis=-1)
+    B, H, W, C = images.shape
+    rows = min(num_rows, B)
+    cols = -(-B // rows)
+    grid = np.zeros((rows * H, cols * W, C), np.float32)
+    for i in range(B):
+        r, c = i % rows, i // rows
+        grid[r * H : (r + 1) * H, c * W : (c + 1) * W] = images[i]
+    tb.add_image(f"{split}/{name}", grid, step, dataformats="HWC")
+
+
 # ---------------------------------------------------------------------------
 # PLY / OBJ writers
 # ---------------------------------------------------------------------------
