@@ -94,6 +94,14 @@ def main():
         for k, v in data_list[0].items()
         if k in ("rgb_input_map", "mask_input_map", "depth_input_map", "intr")
     }
+    if opt.task == "shape":
+        # dummy supervision so the implicit decoder's params initialize
+        init_batch.update(
+            depth_input_map=jnp.zeros((1, opt.H, opt.W, 1)),
+            pose_gt=jnp.zeros((1, 3, 4)),
+            gt_sample_points=jnp.zeros((1, 8, 3)),
+            gt_sample_sdf=jnp.zeros((1, 8)),
+        )
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         init_batch,
