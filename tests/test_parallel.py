@@ -102,3 +102,14 @@ def opt_with_optim(opt):
         "sched": False,
     }
     return o
+
+
+def test_epoch_cosine_schedule():
+    import jax.numpy as jnp
+
+    sched = ptrain.epoch_cosine_schedule(1.0, max_epoch=10, steps_per_epoch=100)
+    assert abs(float(sched(0)) - 1.0) < 1e-6  # epoch 0
+    assert abs(float(sched(99)) - 1.0) < 1e-6  # still epoch 0
+    assert abs(float(sched(500)) - 0.5) < 1e-6  # epoch 5: cos(pi/2)
+    assert float(sched(999)) < 0.05  # epoch 9
+    assert abs(float(sched(10_000))) < 1e-6  # clamped at max_epoch

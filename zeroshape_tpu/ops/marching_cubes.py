@@ -138,7 +138,20 @@ def _dense_slab_areas(slab_vals, isoval):
             coords.append(ca + t * (cb - ca) if ca != cb else ca)
         everts.append(coords)
 
-    tri_tab = jnp.asarray(TRI_TABLE)  # [256, T, 3]
+    # one nibble-packed lookup per word instead of 15 per-slot gathers:
+    # gathers are the expensive primitive on TPU, the unpack is free VPU work
+    from zeroshape_tpu.ops.mc_tables import NIBBLE_SENTINEL, PACKED_TRI_HI, PACKED_TRI_LO
+
+    lo = jnp.take(jnp.asarray(PACKED_TRI_LO), case).astype(jnp.uint32)
+    hi = jnp.take(jnp.asarray(PACKED_TRI_HI), case).astype(jnp.uint32)
+
+    def unpack(slot, k):
+        pos = slot * 3 + k
+        word = lo if pos < 8 else hi
+        nib = jax.lax.shift_right_logical(word, jnp.uint32(4 * (pos % 8))) & jnp.uint32(0xF)
+        nib = nib.astype(jnp.int32)
+        return jnp.where(nib == NIBBLE_SENTINEL, -1, nib)
+
     zeros = jnp.zeros_like(case, dtype=jnp.float32)
 
     def select_coord(eid, ci):
@@ -151,7 +164,7 @@ def _dense_slab_areas(slab_vals, isoval):
 
     slot_areas = []
     for slot in range(MAX_TRIS):
-        eids = [jnp.take(tri_tab[:, slot, k], case) for k in range(3)]
+        eids = [unpack(slot, k) for k in range(3)]
         v = [
             [select_coord(eids[k], ci) for ci in range(3)] for k in range(3)
         ]  # [vert][coord]

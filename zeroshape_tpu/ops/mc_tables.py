@@ -164,3 +164,25 @@ def _generate():
 
 
 TRI_TABLE, N_TRI, EDGE_TABLE, MAX_TRIS = _generate()
+
+
+def _pack_nibbles():
+    """Pack the 15 edge ids per case (5 slots x 3 vertices) into two int32
+    nibble tables: one gather instead of fifteen in the dense area pass.
+    Edge ids 0..11 stay as-is; the -1 sentinel packs as 0xD."""
+    flat = TRI_TABLE.reshape(256, -1)  # [256, 15]
+    assert flat.shape[1] <= 16
+    vals = np.where(flat < 0, 0xD, flat).astype(np.int64)
+    lo = np.zeros(256, np.int64)
+    hi = np.zeros(256, np.int64)
+    for pos in range(flat.shape[1]):
+        nib = vals[:, pos] << (4 * (pos % 8))
+        if pos < 8:
+            lo |= nib
+        else:
+            hi |= nib
+    return lo.astype(np.int32), hi.astype(np.int32)
+
+
+PACKED_TRI_LO, PACKED_TRI_HI = _pack_nibbles()
+NIBBLE_SENTINEL = 0xD

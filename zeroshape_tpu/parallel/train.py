@@ -68,6 +68,17 @@ def param_group_labels(params):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def epoch_cosine_schedule(base_lr: float, max_epoch: int, steps_per_epoch: int):
+    """Per-epoch cosine annealing (torch CosineAnnealingLR stepped per epoch,
+    reference shape_engine.py:133-134, 239)."""
+
+    def sched(step):
+        ep = jnp.minimum(step // max(steps_per_epoch, 1), max_epoch)
+        return 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * ep / max_epoch))
+
+    return sched
+
+
 def make_optimizer(
     params,
     lr: float,
@@ -76,14 +87,18 @@ def make_optimizer(
     fix_dpt: bool = False,
     clip_norm: Optional[float] = None,
     accum: int = 1,
-    sched_steps: Optional[int] = None,
+    sched: Optional[tuple] = None,
 ):
-    """AdamW(betas 0.9/0.95) with the reference's four param groups."""
+    """AdamW(betas 0.9/0.95) with the reference's four param groups.
+
+    ``sched``: optional (max_epoch, steps_per_epoch) enabling per-epoch
+    cosine annealing.
+    """
     lr_ft = lr_ft if lr_ft is not None else lr
 
     def make_sched(base):
-        if sched_steps:
-            return optax.cosine_decay_schedule(base, sched_steps)
+        if sched:
+            return epoch_cosine_schedule(base, sched[0], sched[1])
         return base
 
     def adamw(base_lr, wd):
@@ -104,7 +119,7 @@ def make_optimizer(
     return tx
 
 
-def create_train_state(model, opt, batch, rng, dtype=None):
+def create_train_state(model, opt, batch, rng, dtype=None, steps_per_epoch=None):
     """Initialize params/batch_stats and the optimizer."""
     variables = model.init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, batch, train=False
@@ -112,6 +127,7 @@ def create_train_state(model, opt, batch, rng, dtype=None):
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     optim = opt.optim
+    use_sched = optim.get("sched") and steps_per_epoch
     tx = make_optimizer(
         params,
         lr=optim.lr,
@@ -120,7 +136,7 @@ def create_train_state(model, opt, batch, rng, dtype=None):
         fix_dpt=optim.get("fix_dpt", False),
         clip_norm=optim.get("clip_norm"),
         accum=optim.get("accum", 1) or 1,
-        sched_steps=None,
+        sched=(opt.max_epoch, steps_per_epoch) if use_sched else None,
     )
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -45,6 +45,7 @@ class Runner(RunnerBase):
         self.state = ptrain.create_train_state(
             self.model, opt, model_batch(init_batch),
             jax.random.PRNGKey(opt.get("seed", 0) or 0),
+            steps_per_epoch=getattr(self, "num_batches", None),
         )
         self.train_step = ptrain.make_train_step(
             self.model, opt, graph_depth.compute_loss, self.mesh

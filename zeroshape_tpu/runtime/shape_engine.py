@@ -62,7 +62,9 @@ class Runner(RunnerBase):
         log_print("setting up optimizers...")
         opt = self.opt
         self.state = ptrain.create_train_state(
-            self.model, opt, model_batch(init_batch), jax.random.PRNGKey(opt.get("seed", 0) or 0)
+            self.model, opt, model_batch(init_batch),
+            jax.random.PRNGKey(opt.get("seed", 0) or 0),
+            steps_per_epoch=getattr(self, "num_batches", None),
         )
         self.train_step = ptrain.make_train_step(
             self.model, opt, graph_shape.compute_loss, self.mesh
