@@ -12,8 +12,6 @@ coordinates (x, y, 1), no half-pixel offset (camera.py:80-86).
 
 from __future__ import annotations
 
-import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from zeroshape_tpu.models.coord_enc import CoordEncRes
 from zeroshape_tpu.models.layers import (
     BottleneckConv,
     ViTBlock,

@@ -10,10 +10,10 @@ be layered on later without touching call sites.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import jax
 import numpy as np
+from typing import Optional
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -18,12 +18,11 @@ Rebuilds the reference's training runtime (model/shape_engine.py:75-136,
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
+from typing import Any, Optional
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 

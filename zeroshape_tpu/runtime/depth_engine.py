@@ -8,7 +8,6 @@ selection on l1_err, and dumps aligned depth visualizations.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -12,15 +12,13 @@ import importlib
 import os
 import shutil
 import time
-from typing import Any, Optional
 
-import jax
 import numpy as np
 
-from zeroshape_tpu.parallel.mesh import make_mesh, make_mesh_for_batch, shard_batch
-from zeroshape_tpu.parallel import train as ptrain
+from zeroshape_tpu.parallel.mesh import make_mesh_for_batch
+from zeroshape_tpu.runtime.logging import log_print
+
 from zeroshape_tpu.runtime import checkpoint as ckpt_util
-from zeroshape_tpu.runtime.logging import MetricLogger, SmoothedValue, log_print
 
 DATASETS = {
     "synthetic": "zeroshape_tpu.data.synthetic",

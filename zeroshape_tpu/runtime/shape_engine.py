@@ -15,9 +15,6 @@ final batch instead of the reference's auxiliary remainder loader.
 from __future__ import annotations
 
 import os
-import time
-from functools import partial
-from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ from __future__ import annotations
 import base64
 import io
 import os
-from typing import Optional, Sequence
 
 import numpy as np
 
