@@ -343,6 +343,10 @@ class Runner(RunnerBase):
         S = opt.eval.vox_res + 1
         meshes = [(v / S * (hi - lo) + lo, f) for v, f in meshes]
         vis.dump_meshes(opt.output_path, idx, "mesh", meshes, folder=folder)
+        if opt.eval.get("dump_mesh_viz"):
+            # turntable GIFs per sample (reference dumps these for every eval
+            # sample; the matplotlib renderer is slow, so it's opt-in here)
+            vis.dump_meshes_viz(opt.output_path, idx, "mesh_viz", meshes, folder=folder)
         if "depth_pred" in out:
             vis.dump_depths(
                 opt.output_path, idx, "depth_est",
