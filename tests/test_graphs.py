@@ -150,3 +150,37 @@ def test_shape_graph_eval_without_gt(shape_setup):
     out, _ = model.apply(vars_, eval_batch, train=False, mutable=["batch_stats"])
     assert "pred_sample_occ" not in out
     assert out["latent_depth"].shape == (2, 17, 64)
+
+
+def test_shape_graph_transformer_encoder_dsp2():
+    """arch.depth.encoder='transformer' with dsp=2: windowed attention encoder
+    over the masked-downsampled coordinate map (graph_shape.py:45-46,150)."""
+    opt = tiny_opt().unfrozen_copy()
+    opt.arch.depth = Config({"encoder": "transformer", "n_blocks": 2, "dsp": 2})
+    model = ShapeGraph.from_opt(opt)
+    batch = tiny_batch()
+    vars_ = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    out = model.apply(vars_, batch, train=False, mutable=False)
+    # H=64, dsp=2 -> 32px map; win 16//2=8 -> 4x4=16 windows + cls
+    assert out["latent_depth"].shape == (2, 17, 64)
+    assert np.isfinite(np.asarray(out["pred_sample_occ"])).all()
+
+
+def test_shape_graph_with_rgb_encoder():
+    """rgb.encoder='resnet' enables the semantic branch: implicit conditions
+    on concat(depth, semantic) latents (graph_shape.py:49-59, implicit.py:253)."""
+    opt = tiny_opt().unfrozen_copy()
+    opt.arch.rgb = Config({"encoder": "resnet", "n_blocks": 2})
+    model = ShapeGraph.from_opt(opt)
+    batch = tiny_batch()
+    vars_ = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    out, _ = model.apply(vars_, batch, train=False, mutable=["batch_stats"])
+    assert out["latent_semantic"].shape == (2, 17, 64)
+    assert out["pred_sample_occ"].shape == (2, 32)
+    assert np.isfinite(np.asarray(out["pred_sample_occ"])).all()
