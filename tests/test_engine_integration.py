@@ -181,3 +181,25 @@ def test_shape_engine_end_to_end(tmp_path):
     runner2.setup_optimizer(default_collate([runner2.train_data[0]]))
     runner2.restore_checkpoint()
     assert runner2.iter_start > 0
+
+
+def test_setup_optimizer_from_test_sample(tmp_path):
+    """evaluate.py inits from a test-set sample (no SDF supervision); the
+    implicit decoder's params must still be created."""
+    data_root = make_fixture_dataset(str(tmp_path))
+    yaml_path = tiny_yaml(tmp_path, data_root)
+    opt = set_options(Config({"yaml": yaml_path}), safe_check=False)
+
+    from zeroshape_tpu.data.base import default_collate
+    from zeroshape_tpu.runtime.shape_engine import Runner
+
+    runner = Runner(opt)
+    runner.load_dataset(eval_split="test", load_train=False)
+    runner.build_networks()
+    sample = {
+        k: v
+        for k, v in default_collate([runner.test_data[0]]).items()
+        if not k.startswith("gt_")
+    }
+    runner.setup_optimizer(sample)
+    assert "impl_network" in runner.state.params

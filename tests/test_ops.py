@@ -228,3 +228,23 @@ def test_brute_force_pruned_matches_exhaustive():
     cd_full = float(full["acc"] + full["comp"]) / 2
     cd_pruned = float(pruned["acc"] + pruned["comp"]) / 2
     assert cd_pruned <= cd_full * 1.02 + 1e-5
+
+
+def test_triangle_areas_non_multiple_vox_res():
+    # S=21 -> n=20, slab snaps to a divisor of 20
+    rng = np.random.default_rng(9)
+    level = jnp.asarray(rng.uniform(0, 1, (21, 21, 21)).astype(np.float32))
+    areas = mc.triangle_areas(level, 0.5, slab=8)
+    assert areas.shape[0] == 20**3 * MAX_TRIS
+    pts = mc.sample_surface_points(level, jax.random.PRNGKey(0), 200)
+    assert np.isfinite(np.asarray(pts)).all()
+
+
+def test_brute_force_odd_rot_batch():
+    rng = np.random.default_rng(10)
+    pc = rng.normal(size=(100, 3)).astype(np.float32)
+    out = eval3d.brute_force_search(
+        jnp.asarray(pc), jnp.asarray(pc), rot_batch=3, use_pallas=False,
+        rot_samples=(4, 4, 4), prune=(50, 8),
+    )
+    assert np.isfinite(float(out["acc"]))

@@ -113,16 +113,29 @@ class DataLoader:
             samples = list(pool.map(self.dataset.__getitem__, idx.tolist()))
             return self.collate(samples)
 
+        def put_or_stop(item):
+            # bounded put that aborts when the consumer abandons the iterator
+            # (otherwise the producer blocks on a full queue forever and leaks
+            # its threads)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for idx in batches:
                     if stop.is_set():
                         break
-                    q.put(load_batch(idx))
+                    if not put_or_stop(load_batch(idx)):
+                        return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -46,7 +46,12 @@ class SyntheticDataset(base.Dataset):
         self.cat2label = {cat: i for i, cat in enumerate(self.category_list)}
         self.label2cat = list(self.category_list)
         self.list = self.get_list(opt, split)
+        # samples are decoded by DataLoader worker threads; numpy Generators
+        # are not thread-safe, so SDF subsampling draws under a lock
+        import threading
+
         self.rng = np.random.default_rng(opt.get("seed", 0) or 0)
+        self._rng_lock = threading.Lock()
 
     def get_list(self, opt, split):
         data_list = []
@@ -147,7 +152,8 @@ class SyntheticDataset(base.Dataset):
         pts, sdf = self.get_gt_sdf(subset, category, object_name)
         n = opt.training.get("n_sdf_points")
         if n:
-            sel = self.rng.permutation(pts.shape[0])[:n]
+            with self._rng_lock:
+                sel = self.rng.permutation(pts.shape[0])[:n]
             pts, sdf = pts[sel], sdf[sel]
         sample["gt_sample_points"] = pts
         sample["gt_sample_sdf"] = sdf

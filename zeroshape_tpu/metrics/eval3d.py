@@ -213,9 +213,11 @@ def brute_force_search(
             return (acc_d.mean(axis=1) + comp_d.mean(axis=1)) / 2.0
 
         cb = min(rot_batch * 4, n_rot)
+        c_pad = -(-n_rot // cb) * cb - n_rot
+        rot_p = jnp.concatenate([rotations, jnp.tile(rotations[:1], (c_pad, 1, 1))])
         cd_coarse = jax.lax.map(
-            coarse_fn, rotations.reshape(-1, cb, 3, 3)
-        ).reshape(-1)
+            coarse_fn, rot_p.reshape(-1, cb, 3, 3)
+        ).reshape(-1)[:n_rot]
         _, top_idx = jax.lax.top_k(-cd_coarse, K)
         candidates = rotations[top_idx]
     else:

@@ -171,9 +171,12 @@ class ShapeGraph(nn.Module):
         B = rgb.shape[0]
         out = {}
 
-        out["latent_semantic"] = (
-            self.rgb_enc(rgb, train) if self.rgb_enc is not None else None
-        )
+        if self.rgb_enc is None:
+            out["latent_semantic"] = None
+        elif self.rgb_encoder == "transformer":
+            out["latent_semantic"] = self.rgb_enc(rgb, deterministic=not train)
+        else:
+            out["latent_semantic"] = self.rgb_enc(rgb, train)
 
         depth_pred, intr_feat = self.dpt_depth(rgb, deterministic=not train)
         out["depth_pred"] = depth_pred  # [B, H, W, 1]

@@ -186,8 +186,8 @@ def triangle_areas(level, isoval=0.5, slab=8):
     """
     S = level.shape[0]
     n = S - 1
-    slab = min(slab, n)
-    assert n % slab == 0, "slab must divide S-1"
+    # largest slab <= requested that divides n, so any vox_res works
+    slab = max(d for d in range(1, min(slab, n) + 1) if n % d == 0)
 
     def slab_fn(i0):
         slab_vals = jax.lax.dynamic_slice(level, (i0, 0, 0), (slab + 1, S, S))

@@ -58,8 +58,18 @@ class Runner(RunnerBase):
     def setup_optimizer(self, init_batch):
         log_print("setting up optimizers...")
         opt = self.opt
+        init = dict(model_batch(init_batch))
+        if "gt_sample_points" not in init:
+            # test-set samples carry no SDF supervision; init must still trace
+            # the supervision branch or impl_network params are never created
+            B = init["rgb_input_map"].shape[0]
+            init.setdefault("depth_input_map", np.zeros((B, opt.H, opt.W, 1), np.float32))
+            init.setdefault("intr", np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
+            init.setdefault("pose_gt", np.zeros((B, 3, 4), np.float32))
+            init["gt_sample_points"] = np.zeros((B, 8, 3), np.float32)
+            init["gt_sample_sdf"] = np.zeros((B, 8), np.float32)
         self.state = ptrain.create_train_state(
-            self.model, opt, model_batch(init_batch),
+            self.model, opt, init,
             jax.random.PRNGKey(opt.get("seed", 0) or 0),
             steps_per_epoch=getattr(self, "num_batches", None),
         )
