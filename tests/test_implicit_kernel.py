@@ -28,7 +28,8 @@ def setup():
     return m, vars_, latent, points
 
 
-def test_fused_decode_matches_xla(setup):
+@pytest.mark.parametrize("attn_mode", ["perhead", "blockdiag"])
+def test_fused_decode_matches_xla(setup, attn_mode):
     m, vars_, latent, points = setup
 
     def encode(mdl, latent):
@@ -49,6 +50,7 @@ def test_fused_decode_matches_xla(setup):
         n_mlp_linears=5,
         tile=128,
         interpret=True,
+        attn_mode=attn_mode,
     )
     # bf16 matmuls vs the fp32 XLA path: logit-scale agreement
     a, b = np.asarray(occ_kernel), np.asarray(occ_ref)[0]

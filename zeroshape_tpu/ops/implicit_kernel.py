@@ -15,13 +15,18 @@ and masked inside the softmax.
 Exactness: matches models/implicit.py decode() (same masked joint softmax,
 LayerNorms in fp32, matmuls with fp32 accumulation) — asserted in tests.
 
-Status: correct on hardware (max occupancy diff 5e-3 vs XLA at 128^3) but
-currently ~1.6x slower than the XLA decode path (412 ms vs 262 ms on v5e):
-XLA's fusion of the [16641, 256] tile pipeline is already strong and the
-per-head attention loop here under-fills the MXU at tile=512 (VMEM-bound;
-larger tiles exceed the 16 MB scoped budget). Kept as an optimization seed —
-promising follow-ups are head-batched score matmuls and double-buffered
-point DMA — and is NOT wired into the default decode path.
+Attention comes in two layouts (``attn_mode``):
+
+  * ``"perhead"`` — a Python loop over heads with [T, hd] x [hd, L] score
+    matmuls. hd=32 under-fills the 128-wide MXU contraction, which made the
+    first version of this kernel ~1.6x slower than the XLA decode path.
+  * ``"blockdiag"`` (default) — the cached K/V are pre-arranged into
+    block-diagonal matrices K_bd [C, H*L_pad] and V_bd [H*L_pad, C] so ALL
+    heads' scores come from ONE [T, C] x [C, H*L_pad] matmul and all heads'
+    outputs from ONE [T, H*L_pad] x [H*L_pad, C] matmul. The zero blocks
+    waste 8x score FLOPs but both matmuls run at full MXU occupancy, and
+    attention FLOPs are small next to the MLP stack. Per-head softmax
+    statistics are cheap VPU slices.
 """
 
 from __future__ import annotations
@@ -115,6 +120,7 @@ def _decoder_kernel(
     latent_len: int,
     skip_in: tuple,
     n_mlp_linears: int,
+    attn_mode: str,
 ):
     from jax.experimental import pallas as pl
 
@@ -126,7 +132,8 @@ def _decoder_kernel(
     C = point_w_ref.shape[1]
     hd = C // n_heads
     scale = hd**-0.5
-    L_pad = kh_ref.shape[2]
+    # perhead: kh_ref [B, H, L_pad, hd]; blockdiag: kh_ref [B, C, H*L_pad]
+    L_pad = kh_ref.shape[2] if attn_mode == "perhead" else kh_ref.shape[2] // n_heads
 
     compute = jnp.bfloat16
 
@@ -143,12 +150,7 @@ def _decoder_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (1, L_pad), 1) < latent_len
     )  # [1, L_pad]
 
-    for blk in range(n_blocks):
-        n = _layernorm(p, ln1_ref[blk, 0], ln1_ref[blk, 1])
-        qkv = dense(n, qkv_w_ref[blk], qkv_b_ref[blk])  # [T, 3C] fp32
-        q = qkv[:, :C]
-        k = qkv[:, C : 2 * C]
-        v = qkv[:, 2 * C :]
+    def attn_perhead(q, k, v, blk):
         outs = []
         for h in range(n_heads):
             sl = slice(h * hd, (h + 1) * hd)
@@ -169,7 +171,42 @@ def _decoder_kernel(
             out_h = _dot(w_lat.astype(compute), vh.astype(compute))  # [T, hd]
             out_h = out_h + (e_self / denom) * v[:, sl]
             outs.append(out_h)
-        attn_out = jnp.concatenate(outs, axis=-1)  # [T, C]
+        return jnp.concatenate(outs, axis=-1)  # [T, C]
+
+    def attn_blockdiag(q, k, v, blk):
+        # ONE full-occupancy score matmul for all heads: the zero off-blocks
+        # of K_bd make column slice h equal to q_h @ k_h^T
+        scores_all = (
+            _dot(q.astype(compute), kh_ref[blk].astype(compute)) * scale
+        )  # [T, H*L_pad] fp32
+        qk = q * k  # [T, C]
+        w_slices = []
+        self_out = []
+        for h in range(n_heads):
+            sl = scores_all[:, h * L_pad : (h + 1) * L_pad]
+            sl = jnp.where(lat_mask, sl, -jnp.inf)
+            s_self = (
+                jnp.sum(qk[:, h * hd : (h + 1) * hd], axis=-1, keepdims=True) * scale
+            )  # [T, 1]
+            m = jnp.maximum(jnp.max(sl, axis=-1, keepdims=True), s_self)
+            e = jnp.exp(sl - m)
+            e_self = jnp.exp(s_self - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+            w_slices.append((e / denom).astype(compute))
+            self_out.append((e_self / denom) * v[:, h * hd : (h + 1) * hd])
+        w_all = jnp.concatenate(w_slices, axis=-1)  # [T, H*L_pad] bf16
+        out = _dot(w_all, vh_ref[blk].astype(compute))  # [T, C] fp32
+        return out + jnp.concatenate(self_out, axis=-1)
+
+    attn_fn = attn_perhead if attn_mode == "perhead" else attn_blockdiag
+
+    for blk in range(n_blocks):
+        n = _layernorm(p, ln1_ref[blk, 0], ln1_ref[blk, 1])
+        qkv = dense(n, qkv_w_ref[blk], qkv_b_ref[blk])  # [T, 3C] fp32
+        q = qkv[:, :C]
+        k = qkv[:, C : 2 * C]
+        v = qkv[:, 2 * C :]
+        attn_out = attn_fn(q, k, v, blk)
         p = p + dense(attn_out, proj_w_ref[blk], proj_b_ref[blk])
         n2 = _layernorm(p, ln2_ref[blk, 0], ln2_ref[blk, 1])
         hmid = _gelu(dense(n2, fc1_w_ref[blk], fc1_b_ref[blk]))
@@ -219,12 +256,16 @@ def fused_decode(
     n_mlp_linears=9,
     tile=512,
     interpret=False,
+    attn_mode="blockdiag",
+    vmem_limit_bytes=None,
 ):
     """Occupancy logits for ``points`` [P, 3] against cached latents.
 
     Args:
       caches: list over blocks of (k, v), each [1, H, L, hd] (batch of 1).
       packed: output of :func:`pack_decoder_params`.
+      attn_mode: "blockdiag" (full-MXU block-diagonal K/V matmuls) or
+        "perhead" (per-head small matmuls; slower, kept for A/B timing).
     Returns:
       logits [P] float32.
     """
@@ -241,6 +282,17 @@ def fused_decode(
     vh = jnp.stack([c[1][0] for c in caches])
     kh = jnp.pad(kh, ((0, 0), (0, 0), (0, L_pad - L), (0, 0)))
     vh = jnp.pad(vh, ((0, 0), (0, 0), (0, L_pad - L), (0, 0)))
+    if attn_mode == "blockdiag":
+        # K_bd [B, C, H*L_pad]: block h rows h*hd:(h+1)*hd = k_h^T
+        # V_bd [B, H*L_pad, C]: block h cols h*hd:(h+1)*hd = v_h
+        HL = n_heads * L_pad
+        kbd = jnp.zeros((n_blocks, C, HL), kh.dtype)
+        vbd = jnp.zeros((n_blocks, HL, C), vh.dtype)
+        for h in range(n_heads):
+            rs, cs = slice(h * hd, (h + 1) * hd), slice(h * L_pad, (h + 1) * L_pad)
+            kbd = kbd.at[:, rs, cs].set(jnp.swapaxes(kh[:, h], -1, -2))
+            vbd = vbd.at[:, cs, rs].set(vh[:, h])
+        kh, vh = kbd, vbd
 
     Pp = _round_up(P, tile)
     pts = jnp.pad(points.astype(jnp.float32), ((0, Pp - P), (0, 0)))
@@ -298,11 +350,20 @@ def fused_decode(
         latent_len=L,
         skip_in=tuple(skip_in),
         n_mlp_linears=n_mlp_linears,
+        attn_mode=attn_mode,
     )
     flops_per_pt = (
         n_blocks * (2 * C * 3 * C + 2 * C * L + 2 * C * C + 4 * C * 4 * C)
         + 2 * C * C * n_mlp_linears
     )
+    compiler_params = None
+    if vmem_limit_bytes is not None and not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+            pltpu, "TPUCompilerParams"
+        )
+        compiler_params = params_cls(vmem_limit_bytes=vmem_limit_bytes)
     out = pl.pallas_call(
         kernel,
         grid=(Pp // tile,),
@@ -310,6 +371,7 @@ def fused_decode(
         out_specs=pl.BlockSpec((1, 8, tile // 8), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((Pp // tile, 8, tile // 8), jnp.float32),
         interpret=interpret,
+        compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * Pp,
             bytes_accessed=Pp * (3 + 1) * 4,
