@@ -60,9 +60,11 @@ def build():
 
             return model.apply(variables, out["latent_depth"], pts, method=run)
 
-        grid_pts = eval3d.get_dense_3D_grid(VOX_RES, (lo, hi))
-        occ = eval3d.occupancy_grid(decode_fn, grid_pts, batch_size=1, tile_points=S * S)
-        level = occ.reshape(S, S, S)
+        # coarse-to-fine decode: exact same surface as the dense 129^3 pass
+        # (tests/test_hierarchical_decode.py), ~4x less decoder work
+        level = eval3d.occupancy_grid_hierarchical(
+            decode_fn, VOX_RES, (lo, hi), batch_size=1
+        )[0]
         pts = sample_surface_points(level, key, NUM_POINTS)
         world = pts / S * (hi - lo) + lo
         return world, out["depth_pred"], out["intr_pred"]

@@ -1,0 +1,145 @@
+"""Hierarchical coarse-to-fine occupancy decode vs the dense path.
+
+The contract (metrics/eval3d.occupancy_grid_hierarchical): the level grid it
+returns must yield the *same surface* as the exhaustive dense decode — exact
+values in every crossing cube and the correct side of 0.5 everywhere else —
+so marching-cubes surface samples are identical.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zeroshape_tpu.metrics import eval3d
+from zeroshape_tpu.ops.marching_cubes import sample_surface_points
+
+VOX = 32
+S = VOX + 1
+
+
+def dense_level(decode_fn, batch_size=1):
+    pts = eval3d.get_dense_3D_grid(VOX)
+    occ = eval3d.occupancy_grid(decode_fn, pts, batch_size, tile_points=S * S)
+    return occ.reshape(batch_size, S, S, S)
+
+
+def crossing_cubes(level):
+    """Mask [S-1]^3 of cubes whose corners straddle the 0.5 isovalue."""
+    n = level.shape[0] - 1
+    corners = [
+        level[dx : dx + n, dy : dy + n, dz : dz + n]
+        for dx in (0, 1)
+        for dy in (0, 1)
+        for dz in (0, 1)
+    ]
+    cmin = np.minimum.reduce(corners)
+    cmax = np.maximum.reduce(corners)
+    return (cmin < 0.5) & (cmax >= 0.5)
+
+
+def check_equivalent(level_d, level_h):
+    level_d, level_h = np.asarray(level_d), np.asarray(level_h)
+    # same side of the isovalue everywhere
+    np.testing.assert_array_equal(level_d >= 0.5, level_h >= 0.5)
+    # identical crossing-cube pattern, exact values at crossing-cube corners
+    cross = crossing_cubes(level_d)
+    np.testing.assert_array_equal(cross, crossing_cubes(level_h))
+    n = level_d.shape[0] - 1
+    touched = np.zeros_like(level_d, dtype=bool)
+    idx = np.argwhere(cross)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                touched[idx[:, 0] + dx, idx[:, 1] + dy, idx[:, 2] + dz] = True
+    np.testing.assert_allclose(level_h[touched], level_d[touched], rtol=0, atol=1e-6)
+
+
+def test_sphere_field_exact():
+    def decode_fn(pts):  # logit of a sphere occupancy, radius 0.9
+        return 25.0 * (0.9 - jnp.linalg.norm(pts, axis=-1))
+
+    ld = dense_level(decode_fn)[0]
+    lh = eval3d.occupancy_grid_hierarchical(
+        decode_fn, VOX, batch_size=1, tile_points=S * S
+    )[0]
+    check_equivalent(ld, lh)
+    # identical surface samples, bit for bit (same key, same level values)
+    k = jax.random.PRNGKey(3)
+    pd = sample_surface_points(ld, k, 512)
+    ph = sample_surface_points(lh, k, 512)
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(ph), atol=1e-6)
+
+
+def test_blobs_field_exact():
+    """Multi-blob field incl. a small feature; exercises margin selection."""
+    centers = jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.8, 0.6, -0.4], [-0.7, -0.9, 0.8]], jnp.float32
+    )
+    radii = jnp.asarray([0.55, 0.3, 0.18], jnp.float32)
+
+    def decode_fn(pts):
+        d = jnp.linalg.norm(pts[..., None, :] - centers, axis=-1) - radii
+        return -12.0 * jnp.min(d, axis=-1)
+
+    ld = dense_level(decode_fn)[0]
+    lh = eval3d.occupancy_grid_hierarchical(
+        decode_fn, VOX, batch_size=1, tile_points=S * S
+    )[0]
+    check_equivalent(ld, lh)
+
+
+def test_random_network_exact_and_batched():
+    """A real (untrained) implicit decoder, batch of 2 distinct latents."""
+    from zeroshape_tpu.models.implicit import Implicit
+
+    m = Implicit(
+        num_patches=16,
+        latent_dim=32,
+        n_channels=64,
+        n_blocks_attn=2,
+        n_layers_mlp=4,
+        num_heads=4,
+        skip_in=(2,),
+    )
+    rng = np.random.default_rng(0)
+    latent = jnp.asarray(rng.normal(size=(2, 17, 32)), jnp.float32)
+    pts0 = jnp.asarray(rng.normal(size=(2, 8, 3)), jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), latent, None, pts0)
+    caches = m.apply(vars_, latent, method=lambda md, l: md.encode(l))
+
+    def decode_fn(pts):
+        return m.apply(vars_, caches, pts, method=lambda md, c, p: md.decode(c, p)[0])
+
+    ld = dense_level(decode_fn, batch_size=2)
+    lh = eval3d.occupancy_grid_hierarchical(
+        decode_fn, VOX, batch_size=2, tile_points=S * S
+    )
+    for b in range(2):
+        check_equivalent(ld[b], lh[b])
+
+
+def test_capacity_overflow_safe_shapes():
+    """Tiny capacity still returns the right shape (values degrade gracefully)."""
+
+    def decode_fn(pts):
+        return 25.0 * (0.9 - jnp.linalg.norm(pts, axis=-1))
+
+    lh = eval3d.occupancy_grid_hierarchical(
+        decode_fn, VOX, batch_size=1, capacity=8, tile_points=S * S
+    )
+    assert lh.shape == (1, S, S, S)
+    assert np.isfinite(np.asarray(lh)).all()
+
+
+def test_jit_compiles():
+    def decode_fn(pts):
+        return 25.0 * (0.9 - jnp.linalg.norm(pts, axis=-1))
+
+    f = jax.jit(
+        lambda: eval3d.occupancy_grid_hierarchical(
+            decode_fn, VOX, batch_size=1, tile_points=S * S
+        )
+    )
+    out = f()
+    assert out.shape == (1, S, S, S)

@@ -107,11 +107,18 @@ class Runner(RunnerBase):
                     method=run,
                 )
 
-            grid_pts = eval3d.get_dense_3D_grid(vox, (lo, hi))
-            occ = eval3d.occupancy_grid(
-                decode_fn, grid_pts, batch_size=batch_size, tile_points=S * S
-            )
-            level = occ.reshape(batch_size, S, S, S)
+            if opt.eval.get("hier_decode", True) and vox % 4 == 0:
+                # coarse-to-fine decode: identical surface, ~4x less decoder
+                # work (exactness asserted in tests/test_hierarchical_decode.py)
+                level = eval3d.occupancy_grid_hierarchical(
+                    decode_fn, vox, (lo, hi), batch_size=batch_size
+                )
+            else:
+                grid_pts = eval3d.get_dense_3D_grid(vox, (lo, hi))
+                occ = eval3d.occupancy_grid(
+                    decode_fn, grid_pts, batch_size=batch_size, tile_points=S * S
+                )
+                level = occ.reshape(batch_size, S, S, S)
             keys = jax.random.split(key, batch_size)
             pts = jax.vmap(lambda lv, k: sample_surface_points(lv, k, num_points))(
                 level, keys
