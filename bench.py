@@ -61,9 +61,10 @@ def build():
             return model.apply(variables, out["latent_depth"], pts, method=run)
 
         # coarse-to-fine decode: exact same surface as the dense 129^3 pass
-        # (tests/test_hierarchical_decode.py), ~4x less decoder work
+        # (tests/test_hierarchical_decode.py), ~4x less decoder work;
+        # capacity matches options/shape.yaml eval.hier_capacity
         level = eval3d.occupancy_grid_hierarchical(
-            decode_fn, VOX_RES, (lo, hi), batch_size=1
+            decode_fn, VOX_RES, (lo, hi), batch_size=1, capacity=4096
         )[0]
         pts = sample_surface_points(level, key, NUM_POINTS)
         world = pts / S * (hi - lo) + lo

@@ -63,26 +63,20 @@ def occupancy_grid(decode_fn, points, batch_size, tile_points=16641):
     return jax.nn.sigmoid(occ)
 
 
-def _upsample_trilinear(level_c, factor):
-    """[Sc, Sc, Sc] -> [(Sc-1)*factor+1]^3 exact trilinear upsample.
+def _upsample_nearest(level_c, factor):
+    """[Sc, Sc, Sc] -> [(Sc-1)*factor+1]^3 nearest-lower-corner upsample.
 
-    The coarse lattice coincides with every ``factor``-th fine point, so this
-    is three 1-D lerps expressed as tiny dense matmuls (MXU-friendly).
+    Pure repeats — no matmuls, no gathers. Sign-correctness of the fill only
+    requires that every filled value be *some* corner of an all-same-side
+    cell, which nearest satisfies (a fine point maps to the lower corner of
+    the coarse cell that owns it; boundary planes map to a corner shared by
+    both adjacent cells; the far boundary planes copy the owning cell's near
+    corner via the edge pad — still a corner of that cell).
     """
-    Sc = level_c.shape[0]
-    S = (Sc - 1) * factor + 1
-    W = np.zeros((S, Sc), np.float32)
-    for i in range(S):
-        j, r = divmod(i, factor)
-        if r == 0:
-            W[i, j] = 1.0
-        else:
-            W[i, j] = 1.0 - r / factor
-            W[i, j + 1] = r / factor
-    Wj = jnp.asarray(W)
-    lev = jnp.einsum("ai,ijk->ajk", Wj, level_c)
-    lev = jnp.einsum("bj,ajk->abk", Wj, lev)
-    return jnp.einsum("ck,abk->abc", Wj, lev)
+    n = level_c.shape[0] - 1
+    c = level_c[:n, :n, :n]
+    f = jnp.repeat(jnp.repeat(jnp.repeat(c, factor, 0), factor, 1), factor, 2)
+    return jnp.pad(f, ((0, 1), (0, 1), (0, 1)), mode="edge")
 
 
 def _select_active_cells(occ_c, margin, capacity):
@@ -94,7 +88,7 @@ def _select_active_cells(occ_c, margin, capacity):
     Cells are ranked by how close their closest corner is to 0.5, so if the
     active set overflows ``capacity`` the least-surface-like cells drop first.
 
-    Returns (flat cell ids [capacity], valid mask [capacity]).
+    Returns (flat cell ids [capacity], valid mask [capacity], n_active []).
     """
     Sc = occ_c.shape[0]
     n = Sc - 1
@@ -114,7 +108,7 @@ def _select_active_cells(occ_c, margin, capacity):
     active = (cmin < 0.5 + margin) & (cmax > 0.5 - margin)
     score = jnp.where(active, -amin, -jnp.inf).reshape(-1)
     top, ids = jax.lax.top_k(score, capacity)
-    return ids, top > -jnp.inf
+    return ids, top > -jnp.inf, jnp.sum(active.astype(jnp.int32))
 
 
 def occupancy_grid_hierarchical(
@@ -126,6 +120,7 @@ def occupancy_grid_hierarchical(
     capacity=None,
     margin=0.45,
     tile_points=16641,
+    return_stats=False,
 ):
     """Coarse-to-fine dense occupancy decode: [B, S, S, S] sigmoid, S=vox_res+1.
 
@@ -136,9 +131,9 @@ def occupancy_grid_hierarchical(
     coarse lattice, mark the coarse cells whose corners are not all
     confidently on one side of 0.5 (``margin`` band, default 0.45 = refine
     unless all corners are <0.05 or >0.95), decode the fine lattice exactly
-    only inside those cells, and fill the rest by trilinear upsampling of the
-    coarse values — a convex combination of same-side corners, hence
-    sign-correct wherever the margin test passes. With the default margin
+    only inside those cells, and fill the rest with the owning cell's nearest
+    coarse corner — a corner of an all-same-side cell, hence sign-correct
+    wherever the margin test passes. With the default margin
     this reproduces the dense decode's surface samples exactly on every
     tested field while doing ~4x less decoder work (same spirit as the
     coarse-to-fine brute-force alignment; pass capacity=None sized
@@ -147,6 +142,9 @@ def occupancy_grid_hierarchical(
     Args:
       decode_fn: points [B, T, 3] -> logits [B, T].
       capacity: static max refined cells per sample (default: 1/4 of cells).
+      return_stats: also return n_active [B] — the number of cells the margin
+        test marked; n_active > capacity means some were dropped and the
+        caller should warn / raise the capacity.
     """
     assert vox_res % factor == 0, (vox_res, factor)
     S = vox_res + 1
@@ -164,7 +162,9 @@ def occupancy_grid_hierarchical(
     occ_c = occupancy_grid(decode_fn, coarse_pts, batch_size, tile_points)
     occ_c = occ_c.reshape(batch_size, Sc, Sc, Sc)
 
-    ids, valid = jax.vmap(lambda o: _select_active_cells(o, margin, capacity))(occ_c)
+    ids, valid, n_active = jax.vmap(
+        lambda o: _select_active_cells(o, margin, capacity)
+    )(occ_c)
 
     # fine lattice points of each selected cell: (factor+1)^3 per cell (the
     # +1 shares the neighbor's boundary plane; duplicates write equal values)
@@ -173,8 +173,22 @@ def occupancy_grid_hierarchical(
     offs = jnp.stack([OX, OY, OZ], axis=-1).reshape(-1, 3)  # [(f+1)^3, 3]
     cell = jnp.stack([ids // (nc * nc), (ids // nc) % nc, ids % nc], axis=-1)
     fidx = cell[:, :, None, :] * factor + offs[None, None]  # [B, K, P, 3]
-    pts = g[fidx]  # [B, K, P, 3]
-    B, K, Pc, _ = pts.shape
+    # positions via per-axis [B, K, f+1] gathers broadcast over the cell
+    # block — 50x fewer gathered elements than g[fidx] on the full point set
+    f1 = factor + 1
+    ax = g[cell[..., 0, None] * factor + off[None, None]]  # [B, K, f+1]
+    ay = g[cell[..., 1, None] * factor + off[None, None]]
+    az = g[cell[..., 2, None] * factor + off[None, None]]
+    B, K = ax.shape[:2]
+    pts = jnp.stack(
+        [
+            jnp.broadcast_to(ax[:, :, :, None, None], (B, K, f1, f1, f1)),
+            jnp.broadcast_to(ay[:, :, None, :, None], (B, K, f1, f1, f1)),
+            jnp.broadcast_to(az[:, :, None, None, :], (B, K, f1, f1, f1)),
+        ],
+        axis=-1,
+    )
+    Pc = f1**3
     pts = pts.reshape(B, K * Pc, 3)
 
     # tile the per-sample point sets through decode_fn
@@ -186,7 +200,7 @@ def occupancy_grid_hierarchical(
     occ_f = jax.lax.map(decode_fn, tiles)  # [n_tiles, B, T]
     occ_f = jax.nn.sigmoid(jnp.moveaxis(occ_f, 1, 0).reshape(B, -1)[:, :P])
 
-    fill = jax.vmap(lambda o: _upsample_trilinear(o, factor))(occ_c)
+    fill = jax.vmap(lambda o: _upsample_nearest(o, factor))(occ_c)
 
     flat = (fidx[..., 0] * S + fidx[..., 1]) * S + fidx[..., 2]  # [B, K, P]
     flat = jnp.where(valid[:, :, None], flat, S * S * S)  # OOB -> dropped
@@ -195,7 +209,8 @@ def occupancy_grid_hierarchical(
         return fill_b.reshape(-1).at[flat_b.reshape(-1)].set(occ_b, mode="drop")
 
     level = jax.vmap(scatter)(fill, flat, occ_f.reshape(B, -1))
-    return level.reshape(B, S, S, S)
+    level = level.reshape(B, S, S, S)
+    return (level, n_active) if return_stats else level
 
 
 def occupancy_grid_with_attn(decode_fn, points, batch_size, vox_res, tile_points=16641):

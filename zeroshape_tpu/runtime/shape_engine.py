@@ -110,9 +110,12 @@ class Runner(RunnerBase):
             if opt.eval.get("hier_decode", True) and vox % 4 == 0:
                 # coarse-to-fine decode: identical surface, ~4x less decoder
                 # work (exactness asserted in tests/test_hierarchical_decode.py)
-                level = eval3d.occupancy_grid_hierarchical(
-                    decode_fn, vox, (lo, hi), batch_size=batch_size
+                level, n_active = eval3d.occupancy_grid_hierarchical(
+                    decode_fn, vox, (lo, hi), batch_size=batch_size,
+                    capacity=opt.eval.get("hier_capacity"),
+                    return_stats=True,
                 )
+                out = dict(out, hier_n_active=n_active)
             else:
                 grid_pts = eval3d.get_dense_3D_grid(vox, (lo, hi))
                 occ = eval3d.occupancy_grid(
@@ -245,6 +248,7 @@ class Runner(RunnerBase):
             out, level, pred_world = recon(
                 self.variables(), model_batch(batch_p), key
             )
+            self._check_hier_overflow(out)
             gt_view = eval3d.transform_gt_to_view(
                 jnp.asarray(batch_p["dpc"]["points"]),
                 jnp.asarray(batch_p["pose_gt"]),
@@ -375,6 +379,22 @@ class Runner(RunnerBase):
             opt.output_path, idx, "pointclouds_comp",
             np.asarray(pred_n)[:B0], np.asarray(gt_n)[:B0], folder=folder,
         )
+
+    def _check_hier_overflow(self, out):
+        """Warn (once) if the coarse-to-fine decode dropped active cells."""
+        if "hier_n_active" not in out or getattr(self, "_hier_warned", False):
+            return
+        opt = self.opt
+        nc = opt.eval.vox_res // 4
+        cap = opt.eval.get("hier_capacity") or max(256, nc**3 // 4)
+        n_active = int(np.max(np.asarray(out["hier_n_active"])))
+        if n_active > cap:
+            self._hier_warned = True
+            log_print(
+                f"WARNING: hier_decode active cells ({n_active}) exceed "
+                f"eval.hier_capacity ({cap}); surface may be under-refined. "
+                "Raise eval.hier_capacity or disable with --eval.hier_decode!."
+            )
 
     def _dump_viz(self, ep):
         opt = self.opt
