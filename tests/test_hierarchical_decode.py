@@ -132,6 +132,36 @@ def test_capacity_overflow_safe_shapes():
     assert np.isfinite(np.asarray(lh)).all()
 
 
+def test_return_stats_counts_active_cells():
+    def decode_fn(pts):
+        return 25.0 * (0.9 - jnp.linalg.norm(pts, axis=-1))
+
+    level, n_active = eval3d.occupancy_grid_hierarchical(
+        decode_fn, VOX, batch_size=1, tile_points=S * S, return_stats=True
+    )
+    assert level.shape == (1, S, S, S)
+    n = int(np.asarray(n_active)[0])
+    # the sphere surface must mark some cells but not all of them
+    assert 0 < n < (VOX // 4) ** 3
+
+
+def test_engine_warns_on_capacity_overflow(capsys):
+    """Runner._check_hier_overflow prints a warning when cells were dropped."""
+    from zeroshape_tpu.config import Config
+    from zeroshape_tpu.runtime.shape_engine import Runner
+
+    r = Runner.__new__(Runner)  # no full engine setup needed
+    r.opt = Config(
+        {"eval": {"vox_res": 32, "hier_capacity": 4}}
+    )
+    r._check_hier_overflow({"hier_n_active": np.asarray([100])})
+    assert getattr(r, "_hier_warned", False)
+    out = capsys.readouterr().out
+    assert "hier_capacity" in out
+    # second call is silent
+    r._check_hier_overflow({"hier_n_active": np.asarray([100])})
+
+
 def test_jit_compiles():
     def decode_fn(pts):
         return 25.0 * (0.9 - jnp.linalg.norm(pts, axis=-1))
