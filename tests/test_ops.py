@@ -240,6 +240,22 @@ def test_triangle_areas_non_multiple_vox_res():
     assert np.isfinite(np.asarray(pts)).all()
 
 
+def test_nn_min_squared_fast_close_to_exact():
+    from zeroshape_tpu.ops.chamfer import chamfer_squared, nn_min_squared_fast
+
+    rng = np.random.default_rng(11)
+    x1 = jnp.asarray(rng.normal(size=(3, 150, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(3, 220, 3)), jnp.float32)
+    d_exact, _, _, _ = chamfer_squared(x1, x2, False)
+    d_fast = nn_min_squared_fast(x1, x2, use_pallas=False)
+    assert d_fast.shape == d_exact.shape
+    # bf16 cross term (plus occasional near-tied-neighbor flips): ranking
+    # grade, not exact — errors stay small relative to the ~10 distance scale
+    err = np.abs(np.asarray(d_fast) - np.asarray(d_exact))
+    assert err.max() < 0.2, err.max()
+    assert err.mean() < 0.02, err.mean()
+
+
 def test_brute_force_odd_rot_batch():
     rng = np.random.default_rng(10)
     pc = rng.normal(size=(100, 3)).astype(np.float32)

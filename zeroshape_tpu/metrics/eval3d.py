@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zeroshape_tpu.camera import get_rotation_sphere
-from zeroshape_tpu.ops.chamfer import chamfer_distance
+from zeroshape_tpu.ops.chamfer import chamfer_distance, nn_min_squared_fast
 
 DEFAULT_F_THRESHOLDS = (0.005, 0.01, 0.02, 0.05, 0.1, 0.2)
 
@@ -357,9 +357,12 @@ def brute_force_search(
         gt_sub = normalize_pc(pc_gt[:m][None])
 
         def coarse_fn(R):
+            # ranking-grade scorer: bf16 matmul distances, no argmin/refine —
+            # survivors get the exact chamfer below
             rot = normalize_pc(jnp.einsum("rij,pj->rpi", R, pred_sub))
             gt_rep = jnp.broadcast_to(gt_sub, (R.shape[0],) + gt_sub.shape[1:])
-            acc_d, comp_d = chamfer_eval(rot, gt_rep, use_pallas)
+            acc_d = jnp.sqrt(nn_min_squared_fast(rot, gt_rep, use_pallas))
+            comp_d = jnp.sqrt(nn_min_squared_fast(gt_rep, rot, use_pallas))
             return (acc_d.mean(axis=1) + comp_d.mean(axis=1)) / 2.0
 
         cb = min(rot_batch * 4, n_rot)
