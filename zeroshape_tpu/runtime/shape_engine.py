@@ -107,7 +107,12 @@ class Runner(RunnerBase):
                     method=run,
                 )
 
-            if opt.eval.get("hier_decode", True) and vox % 4 == 0:
+            use_hier = (
+                opt.eval.get("hier_decode", True)
+                and vox % 4 == 0
+                and eval3d.hier_decode_saves_work(vox, opt.eval.get("hier_capacity"))
+            )
+            if use_hier:
                 # coarse-to-fine decode: identical surface, ~4x less decoder
                 # work (exactness asserted in tests/test_hierarchical_decode.py)
                 level, n_active = eval3d.occupancy_grid_hierarchical(
@@ -259,6 +264,7 @@ class Runner(RunnerBase):
                 accs, comps, fs, pred_n, gt_n = _brute_force_batch(
                     pred_world, gt_view, tuple(opt.eval.f_thresholds),
                     prune=tuple(prune) if prune else None,
+                    fast_coarse=bool(opt.eval.get("bf_fast_coarse", True)),
                 )
             else:
                 accs, comps, fs, pred_n, gt_n = score(pred_world, gt_view)
@@ -385,8 +391,9 @@ class Runner(RunnerBase):
         if "hier_n_active" not in out or getattr(self, "_hier_warned", False):
             return
         opt = self.opt
-        nc = opt.eval.vox_res // 4
-        cap = opt.eval.get("hier_capacity") or max(256, nc**3 // 4)
+        cap = eval3d.resolve_hier_capacity(
+            opt.eval.vox_res, opt.eval.get("hier_capacity")
+        )
         n_active = int(np.max(np.asarray(out["hier_n_active"])))
         if n_active > cap:
             self._hier_warned = True
@@ -435,11 +442,14 @@ def _pad_batch(batch, target):
     return jax.tree.map(pad_leaf, batch)
 
 
-def _brute_force_batch(pred_world, gt_view, thresholds, prune=(1024, 128)):
+def _brute_force_batch(
+    pred_world, gt_view, thresholds, prune=(1024, 128), fast_coarse=True
+):
     accs, comps, fs, preds, gts = [], [], [], [], []
     for b in range(pred_world.shape[0]):
         res = eval3d.brute_force_search(
-            pred_world[b], gt_view[b], thresholds=thresholds, prune=prune
+            pred_world[b], gt_view[b], thresholds=thresholds, prune=prune,
+            fast_coarse=fast_coarse,
         )
         accs.append(res["acc"])
         comps.append(res["comp"])
