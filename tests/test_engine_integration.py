@@ -183,6 +183,49 @@ def test_shape_engine_end_to_end(tmp_path):
     assert runner2.iter_start > 0
 
 
+@pytest.mark.slow
+def test_shape_engine_eval_brute_force_hier(tmp_path):
+    """Evaluation with hierarchical decode + brute-force alignment enabled.
+
+    vox_res=32 makes hier_decode_saves_work true (at 16 the engine correctly
+    keeps the dense path), so this drives the coarse-to-fine decode and the
+    fast-coarse BF search through the full engine pipeline.
+    """
+    data_root = make_fixture_dataset(str(tmp_path))
+    yaml_path = tiny_yaml(tmp_path, data_root)
+    opt = set_options(Config({"yaml": yaml_path}), safe_check=False)
+    opt = opt.unfrozen_copy()
+    opt.eval.vox_res = 32
+    opt.eval.brute_force = True
+    opt.eval.bf_prune = [150, 8]
+    opt.eval.num_points = 128
+    opt = opt.freeze()
+
+    from zeroshape_tpu.data.base import default_collate
+    from zeroshape_tpu.metrics import eval3d
+    from zeroshape_tpu.runtime.shape_engine import Runner
+
+    assert eval3d.hier_decode_saves_work(32)
+
+    runner = Runner(opt)
+    runner.load_dataset(eval_split="test", load_train=False)
+    runner.build_networks()
+    sample = {
+        k: v
+        for k, v in default_collate([runner.test_data[0]]).items()
+        if not k.startswith("gt_")
+    }
+    runner.setup_optimizer(sample)
+    runner.evaluate(ep=0, training=False)
+    out = opt.output_path
+    lines = open(os.path.join(out, "synthetic_full_results.txt")).read().splitlines()
+    assert len(lines) == 1 + len(runner.test_data)
+    # metric rows are finite numbers
+    for ln in lines[1:]:
+        vals = [float(v) for v in ln.split(",")[1:]]
+        assert all(np.isfinite(v) for v in vals)
+
+
 def test_setup_optimizer_from_test_sample(tmp_path):
     """evaluate.py inits from a test-set sample (no SDF supervision); the
     implicit decoder's params must still be created."""
