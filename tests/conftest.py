@@ -6,7 +6,19 @@ import os
 # override via jax.config, not just env vars, before any backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA CPU's in-process collectives CHECK-abort ("AwaitAndLogIfStuck" ->
+# InProcessCommunicator::AllReduce) when the 8-way rendezvous is starved on a
+# small host: a participant waiting in the rendezvous can hold the only Eigen
+# pool thread, so on 1-2 core machines the default terminate timeout
+# nondeterministically kills the process (SIGABRT mid-suite). Raise both
+# collective timeouts so starved rendezvous complete instead of aborting.
+if "xla_cpu_collective" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
