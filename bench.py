@@ -31,7 +31,7 @@ CAPACITY = 4096  # refined-cell budget; overflow reported on stderr
 def build():
     from zeroshape_tpu.metrics import eval3d
     from zeroshape_tpu.models.graph_shape import ShapeGraph
-    from zeroshape_tpu.ops.marching_cubes import sample_surface_points
+    from zeroshape_tpu.ops.marching_cubes import sample_surface_points_cells
 
     opt = _full_opt()
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
@@ -70,12 +70,15 @@ def build():
 
         # coarse-to-fine decode: exact same surface as the dense 129^3 pass
         # (tests/test_hierarchical_decode.py), ~4x less decoder work;
-        # n_active is checked against the capacity after the run
-        level, n_active = eval3d.occupancy_grid_hierarchical(
+        # n_active is checked against the capacity after the run. Surface
+        # sampling restricts the triangle-area pass to the active cells.
+        level, n_active, cell_ids, cell_valid = eval3d.occupancy_grid_hierarchical(
             decode_fn, VOX_RES, (lo, hi), batch_size=1, capacity=CAPACITY,
-            return_stats=True,
+            return_stats=True, return_cells=True,
         )
-        pts = sample_surface_points(level[0], key, NUM_POINTS)
+        pts = sample_surface_points_cells(
+            level[0], cell_ids[0], cell_valid[0], key, NUM_POINTS
+        )
         world = pts / S * (hi - lo) + lo
         return world, out["depth_pred"], out["intr_pred"], n_active
 

@@ -162,6 +162,86 @@ def test_engine_warns_on_capacity_overflow(capsys):
     r._check_hier_overflow({"hier_n_active": np.asarray([100])})
 
 
+def test_cells_sampler_matches_dense_area_and_surface():
+    """sample_surface_points_cells: identical total triangle area to the
+    dense pass, and every sampled point lies inside a crossing cube."""
+    from zeroshape_tpu.ops.marching_cubes import (
+        sample_surface_points_cells,
+        triangle_areas,
+    )
+
+    def decode_fn(pts):
+        return 25.0 * (0.9 - jnp.linalg.norm(pts, axis=-1))
+
+    level, n_active, ids, valid = eval3d.occupancy_grid_hierarchical(
+        decode_fn, VOX, batch_size=1, tile_points=S * S,
+        return_stats=True, return_cells=True,
+    )
+    level = level[0]
+
+    # total area parity with the dense pass
+    dense_total = float(jnp.sum(triangle_areas(level)))
+    from zeroshape_tpu.ops.marching_cubes import _corner_areas, CORNERS  # noqa
+
+    pts = sample_surface_points_cells(
+        level, ids[0], valid[0], jax.random.PRNGKey(5), 512
+    )
+    pts = np.asarray(pts)
+    assert np.isfinite(pts).all() and (np.abs(pts).sum() > 0)
+
+    # each sampled point's containing cube must straddle the isovalue
+    cross = crossing_cubes(np.asarray(level))
+    cube = np.clip(np.floor(pts - 1e-5).astype(int), 0, VOX - 1)
+    # points on cube faces may belong to either neighbor; accept if any
+    # adjacent cube (within 1 in each axis, containing the point) crosses
+    ok = np.zeros(len(pts), bool)
+    for dx in (0, -1):
+        for dy in (0, -1):
+            for dz in (0, -1):
+                c = np.clip(cube + [dx, dy, dz], 0, VOX - 1)
+                inside = (
+                    (pts >= c).all(1) & (pts <= c + 1).all(1)
+                )
+                ok |= inside & cross[c[:, 0], c[:, 1], c[:, 2]]
+    assert ok.all(), (~ok).sum()
+
+    # cells-restricted area total == dense total
+    from zeroshape_tpu.ops import marching_cubes as mc
+
+    K = ids.shape[1]
+    cell = np.stack(
+        [np.asarray(ids[0]) // (8 * 8), (np.asarray(ids[0]) // 8) % 8,
+         np.asarray(ids[0]) % 8], -1
+    )
+    blocks = np.zeros((K, 5, 5, 5), np.float32)
+    lvl = np.asarray(level)
+    for k in range(K):
+        b = cell[k] * 4
+        blocks[k] = lvl[b[0]:b[0]+5, b[1]:b[1]+5, b[2]:b[2]+5]
+    vals = [
+        jnp.asarray(blocks[:, dx:dx+4, dy:dy+4, dz:dz+4])
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ]
+    # reorder to CORNERS order
+    corner_order = [(int(c[0]), int(c[1]), int(c[2])) for c in mc.CORNERS]
+    idx_of = {(dx, dy, dz): i for i, (dx, dy, dz) in enumerate(
+        [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    )}
+    vals = [vals[idx_of[c]] for c in corner_order]
+    areas = mc._corner_areas(vals, 0.5) * np.asarray(valid[0])[:, None, None, None, None]
+    np.testing.assert_allclose(float(jnp.sum(areas)), dense_total, rtol=1e-5)
+
+
+def test_cells_sampler_empty_surface():
+    from zeroshape_tpu.ops.marching_cubes import sample_surface_points_cells
+
+    level = jnp.full((S, S, S), 0.9)  # no crossing anywhere
+    ids = jnp.arange(8, dtype=jnp.int32)
+    valid = jnp.ones((8,), bool)
+    pts = sample_surface_points_cells(level, ids, valid, jax.random.PRNGKey(0), 64)
+    np.testing.assert_array_equal(np.asarray(pts), 0.0)
+
+
 def test_jit_compiles():
     def decode_fn(pts):
         return 25.0 * (0.9 - jnp.linalg.norm(pts, axis=-1))

@@ -153,6 +153,7 @@ def occupancy_grid_hierarchical(
     margin=0.45,
     tile_points=16641,
     return_stats=False,
+    return_cells=False,
 ):
     """Coarse-to-fine dense occupancy decode: [B, S, S, S] sigmoid, S=vox_res+1.
 
@@ -177,6 +178,9 @@ def occupancy_grid_hierarchical(
       return_stats: also return n_active [B] — the number of cells the margin
         test marked; n_active > capacity means some were dropped and the
         caller should warn / raise the capacity.
+      return_cells: also return (cell_ids [B, K], valid [B, K]) for the
+        active-cells surface sampler (ops/marching_cubes.
+        sample_surface_points_cells).
     """
     assert vox_res % factor == 0, (vox_res, factor)
     S = vox_res + 1
@@ -240,7 +244,12 @@ def occupancy_grid_hierarchical(
 
     level = jax.vmap(scatter)(fill, flat, occ_f.reshape(B, -1))
     level = level.reshape(B, S, S, S)
-    return (level, n_active) if return_stats else level
+    out = (level,)
+    if return_stats:
+        out = out + (n_active,)
+    if return_cells:
+        out = out + (ids, valid)
+    return out if len(out) > 1 else level
 
 
 def occupancy_grid_with_attn(decode_fn, points, batch_size, vox_res, tile_points=16641):

@@ -24,7 +24,11 @@ from zeroshape_tpu import vis
 from zeroshape_tpu.metrics import eval3d
 from zeroshape_tpu.models import graph_shape
 from zeroshape_tpu.models.graph_shape import ShapeGraph
-from zeroshape_tpu.ops.marching_cubes import marching_cubes_mesh, sample_surface_points
+from zeroshape_tpu.ops.marching_cubes import (
+    marching_cubes_mesh,
+    sample_surface_points,
+    sample_surface_points_cells,
+)
 from zeroshape_tpu.parallel import train as ptrain
 from zeroshape_tpu.parallel.mesh import shard_batch
 from zeroshape_tpu.runtime.engine_base import RunnerBase
@@ -112,25 +116,34 @@ class Runner(RunnerBase):
                 and vox % 4 == 0
                 and eval3d.hier_decode_saves_work(vox, opt.eval.get("hier_capacity"))
             )
+            keys = jax.random.split(key, batch_size)
             if use_hier:
                 # coarse-to-fine decode: identical surface, ~4x less decoder
-                # work (exactness asserted in tests/test_hierarchical_decode.py)
-                level, n_active = eval3d.occupancy_grid_hierarchical(
-                    decode_fn, vox, (lo, hi), batch_size=batch_size,
-                    capacity=opt.eval.get("hier_capacity"),
-                    return_stats=True,
+                # work (exactness asserted in tests/test_hierarchical_decode.py);
+                # surface sampling then only runs the area pass over the
+                # active cells the decode already identified
+                level, n_active, cell_ids, cell_valid = (
+                    eval3d.occupancy_grid_hierarchical(
+                        decode_fn, vox, (lo, hi), batch_size=batch_size,
+                        capacity=opt.eval.get("hier_capacity"),
+                        return_stats=True, return_cells=True,
+                    )
                 )
                 out = dict(out, hier_n_active=n_active)
+                pts = jax.vmap(
+                    lambda lv, ids, vld, k: sample_surface_points_cells(
+                        lv, ids, vld, k, num_points
+                    )
+                )(level, cell_ids, cell_valid, keys)
             else:
                 grid_pts = eval3d.get_dense_3D_grid(vox, (lo, hi))
                 occ = eval3d.occupancy_grid(
                     decode_fn, grid_pts, batch_size=batch_size, tile_points=S * S
                 )
                 level = occ.reshape(batch_size, S, S, S)
-            keys = jax.random.split(key, batch_size)
-            pts = jax.vmap(lambda lv, k: sample_surface_points(lv, k, num_points))(
-                level, keys
-            )
+                pts = jax.vmap(
+                    lambda lv, k: sample_surface_points(lv, k, num_points)
+                )(level, keys)
             world = pts / S * (hi - lo) + lo
             return out, level, world
 
