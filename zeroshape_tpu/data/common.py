@@ -12,13 +12,18 @@ def load_rgb(path: str, out_hw=None) -> np.ndarray:
     """float32 [H, W, 3] in [0, 1]. Uses the native C++ decoder when the
     image is already at target size (the *_processed dataset layouts);
     falls back to PIL (and PIL's resampling) otherwise."""
+    # PIL.Image.open is lazy — .size parses only the header, so this probe
+    # costs microseconds (the native zsdl_image_size does a full decode,
+    # which would make the fast path decode every image twice)
+    img = PIL.Image.open(path)
     if native.available():
-        size = native.image_size(path)
-        if size is not None and (out_hw is None or (size[0], size[1]) == tuple(out_hw)):
-            out = native.decode_image(path, (size[0], size[1]), channels=3)
+        size_wh = img.size  # (W, H)
+        if out_hw is None or (size_wh[1], size_wh[0]) == tuple(out_hw):
+            out = native.decode_image(path, (size_wh[1], size_wh[0]), channels=3)
             if out is not None:
+                img.close()
                 return out
-    img = PIL.Image.open(path).convert("RGB")
+    img = img.convert("RGB")
     if out_hw is not None and img.size != (out_hw[1], out_hw[0]):
         img = img.resize((out_hw[1], out_hw[0]))
     return to_float_chw_free(img)

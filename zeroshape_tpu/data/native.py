@@ -119,11 +119,19 @@ def decode_batch(paths: Sequence[str], out_hw, channels: int = 3, n_threads: int
     return out if good == n else None
 
 
-def load_npy(path: str, max_elems: int = 64_000_000) -> Optional[np.ndarray]:
+def load_npy(path: str, max_elems: Optional[int] = None) -> Optional[np.ndarray]:
     """float32 array from a .npy file (f4/f8/i4/i8, C order)."""
     lib = _load()
     if lib is None:
         return None
+    if max_elems is None:
+        # the smallest supported element is 4 bytes, so file size / 4 bounds
+        # the element count (a fixed 64M-element buffer was 256 MB of
+        # allocation churn per call in the loader threads)
+        try:
+            max_elems = max(1, os.path.getsize(path) // 4)
+        except OSError:
+            return None
     out = np.empty((max_elems,), np.float32)
     shape = (ctypes.c_longlong * 8)()
     ndim = lib.zsdl_load_npy(

@@ -16,6 +16,7 @@ class OcrtocDataset(base.Dataset):
     dataset_dir = "Ocrtoc"
     subsample_every = 5
     has_erode = True
+    depth_dirname = "depth_np"
 
     def __init__(self, opt, split="test", load_3D=True):
         super().__init__(opt, split)
@@ -28,7 +29,9 @@ class OcrtocDataset(base.Dataset):
         ]
         self.cat2label = {c: i for i, c in enumerate(self.cat_names)}
         self.label2cat = self.cat_names
-        self.list = self.get_list(opt, "test")
+        # evaluation-only set: the reference ships no train/val lists
+        assert split == "test", f"{type(self).__name__} only has a test split, got {split!r}"
+        self.list = self.get_list(opt, split)
 
     def get_list(self, opt, split):
         cads = []
@@ -44,6 +47,10 @@ class OcrtocDataset(base.Dataset):
             for i, (category, name) in enumerate(self.list):
                 image_fname = f"{self.path}/images_processed/{category}/{name}.png"
                 mask_fname = f"{self.path}/masks_processed/{category}/{name}.png"
+                # NOTE: the per-view name, though pointclouds are stored
+                # per-object (get_pointcloud strips the view suffix) — kept
+                # verbatim for data_list.txt format parity with the
+                # reference, which writes the same path (data/ocrtoc.py:51)
                 pc_fname = f"{self.path}/pointclouds/{category}/{name}.npy"
                 outfile.write(f"{i} {image_fname} {mask_fname} {pc_fname}\n")
 
@@ -58,7 +65,7 @@ class OcrtocDataset(base.Dataset):
     def get_depth(self, idx):
         category, name = self.list[idx]
         depth = common.load_npy_f32(
-            os.path.join(self.path, "depth_np", category, name + ".npy")
+            os.path.join(self.path, self.depth_dirname, category, name + ".npy")
         ).astype(np.float32)[..., None]
         assert depth.shape[0] == self.opt.H
         mask = (depth != 0).astype(np.float32)

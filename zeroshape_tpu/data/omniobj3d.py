@@ -5,10 +5,6 @@ with ``depth/`` instead of ``depth_np/`` and no mask erosion
 
 from __future__ import annotations
 
-import os
-
-import numpy as np
-
 from zeroshape_tpu.data.ocrtoc import OcrtocDataset
 
 
@@ -16,15 +12,7 @@ class OmniObject3DDataset(OcrtocDataset):
     dataset_dir = "OmniObject3D"
     subsample_every = 1
     has_erode = False
-
-    def get_depth(self, idx):
-        category, name = self.list[idx]
-        depth = np.load(
-            os.path.join(self.path, "depth", category, name + ".npy")
-        ).astype(np.float32)[..., None]
-        assert depth.shape[0] == self.opt.H
-        mask = (depth != 0).astype(np.float32)
-        return depth, mask
+    depth_dirname = "depth"
 
 
 Dataset = OmniObject3DDataset

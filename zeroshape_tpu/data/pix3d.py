@@ -26,6 +26,7 @@ class Pix3DDataset(base.Dataset):
     def __init__(self, opt, split="test", load_3D=True):
         super().__init__(opt, split)
         self.path = os.path.join(opt.data.get("root", "data"), "Pix3D")
+        self.load_3D = load_3D
         self.max_imgs = (
             opt.data.get("max_img_cat") if opt.data.get("max_img_cat") is not None else np.inf
         )
@@ -99,11 +100,12 @@ class Pix3DDataset(base.Dataset):
         sample["pose_gt"] = pose.astype(np.float32)
         sample["intr"] = common.fixed_intrinsics(opt.H, opt.W)
 
-        pc_fname = os.path.join(self.path, "pointclouds", meta["cad_path"][6:]).replace(
-            ".obj", ".npy"
-        )
-        pc = np.load(pc_fname).astype(np.float32)
-        sample["dpc"] = {"points": pc}
+        if self.load_3D:
+            pc_fname = os.path.join(
+                self.path, "pointclouds", meta["cad_path"][6:]
+            ).replace(".obj", ".npy")
+            pc = np.load(pc_fname).astype(np.float32)
+            sample["dpc"] = {"points": pc}
         return sample
 
     def __len__(self):

@@ -152,8 +152,11 @@ class SyntheticDataset(base.Dataset):
         pts, sdf = self.get_gt_sdf(subset, category, object_name)
         n = opt.training.get("n_sdf_points")
         if n:
+            # spawn is O(1); the full permutation runs outside the lock so
+            # decode threads don't serialize on it (pts can be 100k+ rows)
             with self._rng_lock:
-                sel = self.rng.permutation(pts.shape[0])[:n]
+                child = self.rng.spawn(1)[0]
+            sel = child.permutation(pts.shape[0])[:n]
             pts, sdf = pts[sel], sdf[sel]
         sample["gt_sample_points"] = pts
         sample["gt_sample_sdf"] = sdf

@@ -33,8 +33,22 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+def _replace_dir(tmp, path):
+    """Swap ``tmp`` into place at ``path`` with the smallest possible window."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def save_checkpoint(output_path, state, ep, it, best_val, best_ep, latest=False, best=False):
-    """Reference util.py:252-277 layout: latest.ckpt / best.ckpt / checkpoint/ep{N}.ckpt."""
+    """Reference util.py:252-277 layout: latest.ckpt / best.ckpt / checkpoint/ep{N}.ckpt.
+
+    Writes go to a ``.tmp`` sibling first and are renamed into place, so a
+    crash mid-save never destroys the previous resumable checkpoint (the
+    reference's torch.save has the same overwrite hazard; we do better).
+    ``best.ckpt`` is a byte copy of the just-written checkpoint, matching the
+    reference's shutil.copyfile (util.py:272-274) instead of re-serializing.
+    """
     payload = {
         "epoch": np.int64(ep),
         "iter": np.int64(it),
@@ -42,21 +56,23 @@ def save_checkpoint(output_path, state, ep, it, best_val, best_ep, latest=False,
         "best_ep": np.int64(best_ep),
         "params": jax.tree.map(np.asarray, state.params),
         "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-        "opt_state": jax.tree.map(
-            np.asarray, jax.tree.map(lambda x: x, state.opt_state)
-        ),
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
     }
     name = "latest.ckpt" if latest else f"checkpoint/ep{ep}.ckpt"
     path = os.path.join(os.path.abspath(output_path), name)
-    if os.path.exists(path):
-        shutil.rmtree(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    _ckptr().save(path, payload)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    _ckptr().save(tmp, payload)
+    _replace_dir(tmp, path)
     if best:
         best_path = os.path.join(os.path.abspath(output_path), "best.ckpt")
-        if os.path.exists(best_path):
-            shutil.rmtree(best_path)
-        _ckptr().save(best_path, payload)
+        tmp = best_path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(path, tmp)
+        _replace_dir(tmp, best_path)
     return path
 
 
@@ -89,13 +105,18 @@ def apply_payload(state, payload, restore_optim=True):
         batch_stats=payload["batch_stats"],
     )
     if restore_optim and "opt_state" in payload:
-        new = new.replace(
-            opt_state=jax.tree.unflatten(
-                jax.tree.structure(state.opt_state),
-                jax.tree.leaves(payload["opt_state"]),
-            ),
-            step=np.int64(payload["iter"]),
-        )
+        restored = payload["opt_state"]
+        if jax.tree.structure(restored) != jax.tree.structure(state.opt_state):
+            # a structure mismatch means the payload was restored without the
+            # state template (orbax returns nested dicts whose leaf iteration
+            # order need not match the optax NamedTuple field order); grafting
+            # flat leaves would silently put Adam moments in the wrong slots
+            raise ValueError(
+                "optimizer-state structure mismatch: restore the checkpoint "
+                "with restore_checkpoint(path, state) so opt_state is typed "
+                "against the live optimizer"
+            )
+        new = new.replace(opt_state=restored, step=np.int64(payload["iter"]))
     return new
 
 
