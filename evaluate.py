@@ -16,6 +16,11 @@ from zeroshape_tpu.data.base import default_collate
 def main():
     opt_cmd = parse_arguments(sys.argv[1:])
     opt = set_options(opt_cmd, verbose=True, safe_check=False)
+    # test-set evaluation keeps one visualization sample (reference
+    # evaluate.py:29 forces eval.n_vis = 1)
+    opt = opt.unfrozen_copy()
+    opt.eval.n_vis = 1
+    opt = opt.freeze()
 
     task = os.path.basename(opt.yaml).split(".")[0].split("_")[0]
     engine = importlib.import_module(f"zeroshape_tpu.runtime.{task}_engine")

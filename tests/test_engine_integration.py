@@ -199,6 +199,7 @@ def test_shape_engine_eval_brute_force_hier(tmp_path):
     opt.eval.brute_force = True
     opt.eval.bf_prune = [150, 8]
     opt.eval.num_points = 128
+    opt.eval.hier_final = True  # opt the metric run into the hier decode
     opt = opt.freeze()
 
     from zeroshape_tpu.data.base import default_collate

@@ -1,0 +1,122 @@
+"""Mesh-sharded evaluation must reproduce single-device results.
+
+The reference evaluates data-parallel across ranks with a metric all_gather
+(model/shape_engine.py:413-429); here the eval batch is sharded over the data
+mesh. Per-sample computations are independent along the batch axis, so the
+sharded programs must agree with their unsharded/per-sample forms.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zeroshape_tpu.config import Config
+from zeroshape_tpu.metrics import eval3d
+from zeroshape_tpu.models.graph_shape import ShapeGraph
+from zeroshape_tpu.parallel.mesh import make_mesh
+
+from test_graphs import tiny_batch, tiny_opt
+
+
+def _clouds(B=8, P=96, G=80, seed=0):
+    rng = np.random.default_rng(seed)
+    pred = jnp.asarray(rng.normal(size=(B, P, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.normal(size=(B, G, 3)).astype(np.float32))
+    return pred, gt
+
+
+def test_brute_force_batch_matches_per_sample_loop():
+    pred, gt = _clouds()
+    static = dict(
+        thresholds=(0.01, 0.05), rot_samples=(4, 4, 3), prune=(64, 8),
+        fast_coarse=False, rot_batch=12,
+    )
+    batched = eval3d.make_brute_force_batch(mesh=make_mesh(8), **static)(pred, gt)
+    for b in range(pred.shape[0]):
+        single = eval3d.brute_force_search(pred[b], gt[b], **static)
+        np.testing.assert_allclose(
+            np.asarray(batched["acc"][b]), np.asarray(single["acc"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched["comp"][b]), np.asarray(single["comp"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched["f_score"][b]), np.asarray(single["f_score"]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def _dummy_runner(opt, model):
+    """A Runner with just the fields the jitted-eval builders touch."""
+    from zeroshape_tpu.runtime.shape_engine import Runner
+
+    r = object.__new__(Runner)
+    r.opt = opt
+    r.model = model
+    r._recon_cache = {}
+    r._score_cache = {}
+    r._bf_cache = {}
+    return r
+
+
+@pytest.fixture(scope="module")
+def eval_setup():
+    opt = tiny_opt()
+    opt.eval = Config(
+        {
+            "batch_size": 8,
+            "vox_res": 16,
+            "num_points": 128,
+            "range": [-1.5, 1.5],
+            "icp": False,
+            "hier_decode": False,
+            "f_thresholds": [0.01, 0.05, 0.2],
+            "brute_force": False,
+        }
+    )
+    model = ShapeGraph.from_opt(opt)
+    batch = tiny_batch(B=8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+    return opt, model, variables, batch
+
+
+@pytest.mark.slow
+def test_sharded_recon_matches_single_device(eval_setup):
+    opt, model, variables, batch = eval_setup
+    key = jax.random.PRNGKey(11)
+
+    out8, level8, world8 = _dummy_runner(opt, model)._recon_fn(
+        8, mesh=make_mesh(8)
+    )(variables, batch, key)
+    out1, level1, world1 = _dummy_runner(opt, model)._recon_fn(
+        8, mesh=make_mesh(1)
+    )(variables, batch, key)
+
+    np.testing.assert_allclose(
+        np.asarray(level8), np.asarray(level1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(world8), np.asarray(world1), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8["depth_pred"]), np.asarray(out1["depth_pred"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_sharded_score_matches_single_device(eval_setup):
+    opt, model, _, _ = eval_setup
+    pred, gt = _clouds(B=8, P=128, G=128, seed=4)
+    r8 = _dummy_runner(opt, model)._score_fn(8, mesh=make_mesh(8))(pred, gt)
+    r1 = _dummy_runner(opt, model)._score_fn(8, mesh=make_mesh(1))(pred, gt)
+    for a, b in zip(r8, r1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

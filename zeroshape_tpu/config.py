@@ -189,10 +189,51 @@ def _print_options(opt, level=0):
             print("   " * level + "* " + key + ":", value)
 
 
-def save_options_file(opt, path=None):
-    """Persist the resolved options to ``<output_path>/options.yaml``."""
+def _diff_options(old, new, path=""):
+    """Flat list of 'key: old -> new' lines between two plain dicts."""
+    lines = []
+    for key in sorted(set(old) | set(new)):
+        full = f"{path}.{key}" if path else str(key)
+        a, b = old.get(key, "<absent>"), new.get(key, "<absent>")
+        if isinstance(a, dict) and isinstance(b, dict):
+            lines += _diff_options(a, b, full)
+        elif a != b:
+            lines.append(f"  {full}: {a!r} -> {b!r}")
+    return lines
+
+
+def save_options_file(opt, path=None, grace_seconds=10):
+    """Persist the resolved options to ``<output_path>/options.yaml``.
+
+    If an options.yaml from a previous run exists and differs, print the
+    per-key diff and give the user a cancellation window before overwriting
+    (reference utils/options.py:110-129 — this guard protects real runs from
+    a mistyped --name clobbering another run's config). ``--debug`` or a
+    non-interactive stdin skips the wait.
+    """
     path = path or os.path.join(opt.output_path, "options.yaml")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    new = opt.to_dict()
+    if os.path.isfile(path):
+        with open(path) as f:
+            old = yaml.safe_load(f) or {}
+        diff = _diff_options(old, new)
+        if diff:
+            print("existing options file found (different from current one):")
+            print("\n".join(diff))
+            import sys
+
+            interactive = hasattr(sys.stdin, "isatty") and sys.stdin.isatty()
+            if not opt.get("debug") and grace_seconds and interactive:
+                print(
+                    f"please cancel (ctrl-c) within {grace_seconds} seconds "
+                    "if you do not want to override..."
+                )
+                import time
+
+                time.sleep(grace_seconds)
+        else:
+            print("existing options file found (identical)")
     with open(path, "w") as f:
-        yaml.safe_dump(opt.to_dict(), f, default_flow_style=False, indent=4)
+        yaml.safe_dump(new, f, default_flow_style=False, indent=4)
     return path

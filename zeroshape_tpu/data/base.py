@@ -32,6 +32,16 @@ class Dataset:
         raise NotImplementedError
 
     def setup_loader(self, opt, shuffle=False, drop_last=False, batch_size=None):
+        # multi-host: each process loads its slice of every global batch (the
+        # reference's DistributedSampler role, data/base.py:11-26); detected
+        # from the initialized jax.distributed state
+        process_index, process_count = 0, 1
+        try:
+            import jax
+
+            process_index, process_count = jax.process_index(), jax.process_count()
+        except Exception:
+            pass
         return DataLoader(
             self,
             batch_size=batch_size or opt.batch_size,
@@ -39,6 +49,8 @@ class Dataset:
             drop_last=drop_last,
             num_workers=opt.data.get("num_workers", 4),
             seed=opt.get("seed", 0) or 0,
+            process_index=process_index,
+            process_count=process_count,
         )
 
 
@@ -70,6 +82,8 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         collate=default_collate,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -79,6 +93,13 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.collate = collate
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1 and batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes"
+            )
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -96,6 +117,14 @@ class DataLoader:
             idx = order[start : start + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 continue
+            if self.process_count > 1:
+                # contiguous per-process slice of the global batch: process p
+                # holds rows [p*local, (p+1)*local), matching the process-
+                # order concatenation jax.make_array_from_process_local_data
+                # assumes for the sharded leading axis
+                local = len(idx) // self.process_count
+                lo = self.process_index * local
+                idx = idx[lo : lo + local]
             batches.append(idx)
         return batches
 

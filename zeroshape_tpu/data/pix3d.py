@@ -23,6 +23,12 @@ CAT_ID_ALL = dict(
 
 
 class Pix3DDataset(base.Dataset):
+    """``load_3D`` is a deliberate superset of the reference (whose Pix3D
+    loads the GT point cloud unconditionally): passing ``load_3D=False``
+    skips the ``dpc`` key for depth-only workflows, so any caller that will
+    evaluate Chamfer must construct the dataset with ``load_3D=True`` (the
+    default, and what the engines do)."""
+
     def __init__(self, opt, split="test", load_3D=True):
         super().__init__(opt, split)
         self.path = os.path.join(opt.data.get("root", "data"), "Pix3D")

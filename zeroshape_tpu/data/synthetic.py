@@ -54,32 +54,46 @@ class SyntheticDataset(base.Dataset):
         self._rng_lock = threading.Lock()
 
     def get_list(self, opt, split):
-        data_list = []
+        """Enumerate (subset, category, object, sample) sample keys.
+
+        The on-disk layout is fixed by the reference's released data
+        (data/synthetic.py:50-77): ``{subset}/lists/{cat}_{split}.list``
+        holds one ``{cat}_{object}_{sample}.png`` name per line; the
+        ``data.synthetic.percentage`` prefix and the per-category val cap
+        (``max_imgs``) are applied in that order.
+        """
+        entries = []
         for subset in self.subsets:
+            lists_dir = os.path.join(self.path, subset, "lists")
             for cat in self.category_dict[subset]:
-                list_fname = os.path.join(self.path, subset, "lists", f"{cat}_{split}.list")
-                if not os.path.exists(list_fname):
+                list_fname = os.path.join(lists_dir, f"{cat}_{split}.list")
+                if not os.path.isfile(list_fname):
                     continue
-                lines = open(list_fname).read().splitlines()
-                lines = lines[: round(self.data_percentage * len(lines))]
-                for i, img_fname in enumerate(lines):
-                    if i >= self.max_imgs:
-                        break
-                    name = ".".join(img_fname.split(".")[:-1])
-                    object_name = name.split("_")[-2]
-                    sample_id = name.split("_")[-1]
-                    data_list.append((subset, cat, object_name, sample_id))
-        return data_list
+                with open(list_fname) as fh:
+                    stems = [ln.rsplit(".", 1)[0] for ln in fh.read().splitlines() if ln]
+                stems = stems[: round(self.data_percentage * len(stems))]
+                if len(stems) > self.max_imgs:
+                    stems = stems[: int(self.max_imgs)]
+                for stem in stems:
+                    # "{cat}_{object}_{sample}"; the category itself may
+                    # contain underscores, so split from the right
+                    object_name, sample_id = stem.rsplit("_", 2)[-2:]
+                    entries.append((subset, cat, object_name, sample_id))
+        return entries
 
     def id_filename_mapping(self, opt, outpath):
+        """Write the ``data_list.txt`` index -> file paths mapping that
+        evaluate.py emits (reference evaluate.py:16-17)."""
         with open(outpath, "w") as outfile:
             for i, (subset, category, object_name, sample_id) in enumerate(self.list):
-                fname = f"{category}/{category}_{object_name}_{sample_id}"
-                image_fname = f"{self.path}/{subset}/images_processed/{fname}.png"
-                mask_fname = f"{self.path}/{subset}/masks/{fname}.png"
-                pc_name = f"{category}/{category}_{object_name}"
-                pc_fname = f"{self.path}/{subset}/pointclouds/{pc_name}.npy"
-                outfile.write(f"{i} {image_fname} {mask_fname} {pc_fname}\n")
+                stem = f"{category}/{category}_{object_name}_{sample_id}"
+                image = os.path.join(self.path, subset, "images_processed", stem + ".png")
+                mask = os.path.join(self.path, subset, "masks", stem + ".png")
+                pc = os.path.join(
+                    self.path, subset, "pointclouds",
+                    f"{category}/{category}_{object_name}.npy",
+                )
+                outfile.write(f"{i} {image} {mask} {pc}\n")
 
     def _fname(self, subset, category, object_name, sample_id):
         return f"{category}/{category}_{object_name}_{sample_id}"

@@ -350,13 +350,7 @@ def chamfer_eval(pc_pred, pc_gt, use_pallas=None):
     return d1, d2
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "rot_batch", "thresholds", "use_pallas", "rot_samples", "prune", "fast_coarse",
-    ),
-)
-def brute_force_search(
+def brute_force_search_impl(
     pc_pred,
     pc_gt,
     thresholds=DEFAULT_F_THRESHOLDS,
@@ -450,6 +444,37 @@ def brute_force_search(
         "pc_gt": gt_n[0],
         "rotation": R_best,
     }
+
+
+brute_force_search = partial(
+    jax.jit,
+    static_argnames=(
+        "rot_batch", "thresholds", "use_pallas", "rot_samples", "prune", "fast_coarse",
+    ),
+)(brute_force_search_impl)
+
+
+def make_brute_force_batch(
+    mesh=None,
+    axis_name: str = "data",
+    **static,
+):
+    """Batched brute-force alignment: (pred [B, P, 3], gt [B, G, 3]) -> dict
+    of stacked per-sample results.
+
+    Replaces the per-sample Python loop over :func:`brute_force_search` with
+    one jitted ``vmap``; with ``mesh`` given, the batch axis is sharded over
+    the mesh's data axis so each device aligns its own samples in parallel
+    (the reference evaluates data-parallel across ranks,
+    model/shape_engine.py:413-429).
+    """
+    fn = jax.vmap(partial(brute_force_search_impl, **static))
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bsh = NamedSharding(mesh, P(axis_name))
+    return jax.jit(fn, in_shardings=(bsh, bsh))
 
 
 def icp(X1, X2, num_iter=50, use_pallas=None):

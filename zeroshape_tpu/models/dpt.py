@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from zeroshape_tpu.models.layers import Conv, ViTBlock
+from zeroshape_tpu.models.layers import Conv, ViTBlock, gelu_exact
 from zeroshape_tpu.models.resnet import ResNetV2Stem
 from zeroshape_tpu.ops.image import resize_bilinear, upsample2x
 
@@ -113,7 +113,7 @@ class ProjectReadout(nn.Module):
         readout = jnp.broadcast_to(cls, patches.shape)
         h = jnp.concatenate([patches, readout], axis=-1)
         h = nn.Dense(tokens.shape[-1], dtype=self.dtype, name="project")(h)
-        return nn.gelu(h)
+        return gelu_exact(h)
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,13 @@ def nerf_posenc_dim(input_dim: int, num_freqs: int, include_input: bool = True) 
 # Small generic layers
 # ---------------------------------------------------------------------------
 
+def gelu_exact(x):
+    """torch ``nn.GELU`` (exact erf form). flax ``nn.gelu`` defaults to the
+    tanh approximation, which diverges from released-torch-weight
+    activations at the 1e-3 level — every block that mirrors a torch GELU
+    must use this instead (verified by tests/test_torch_parity.py)."""
+    return nn.gelu(x, approximate=False)
+
 def make_drop_path_mask(rng, batch: int, rate: float, dtype=jnp.float32):
     """Per-sample stochastic-depth keep mask, pre-scaled by 1/keep_prob."""
     keep = 1.0 - rate
@@ -98,7 +105,7 @@ class Mlp(nn.Module):
 
     hidden_dim: int
     out_dim: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -298,7 +305,7 @@ class BottleneckLinear(nn.Module):
         C = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         h = nn.Dense(C, dtype=self.dtype, name="linear1")(h)
-        h = nn.gelu(h)
+        h = gelu_exact(h)
         h = nn.Dense(C, dtype=self.dtype, name="linear2")(h)
         return x + h
 
@@ -326,7 +333,7 @@ class CLIPFusionBlockConcat(nn.Module):
         for i in range(self.n_layers):
             h = BottleneckLinear(dtype=self.dtype, name=f"bottleneck{i}")(h)
         h = nn.Dense(C, dtype=self.dtype, name="proj")(h)
-        return nn.gelu(h) if self.act else h
+        return gelu_exact(h) if self.act else h
 
 
 class CLIPFusionBlockAttn(nn.Module):
@@ -347,4 +354,4 @@ class CLIPFusionBlockAttn(nn.Module):
                 dtype=self.dtype, name=f"block{i}",
             )(h, deterministic=True)
         out = h[:, 1:, :]
-        return nn.gelu(out) if self.act else out
+        return gelu_exact(out) if self.act else out

@@ -80,9 +80,9 @@ def _layernorm(x, scale, bias, eps=1e-6):
 
 
 def _gelu(x):
-    # flax nn.gelu default (tanh approximation)
+    # exact erf GELU (torch nn.GELU; matches models/layers.gelu_exact)
     x32 = x.astype(jnp.float32)
-    return 0.5 * x32 * (1.0 + jnp.tanh(0.7978845608028654 * (x32 + 0.044715 * x32**3)))
+    return 0.5 * x32 * (1.0 + jax.lax.erf(x32 * 0.7071067811865476))
 
 
 def _softplus100(x):

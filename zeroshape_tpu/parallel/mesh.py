@@ -23,7 +23,9 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
-def make_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
+def make_mesh_for_batch(
+    batch_size: int, axis_name: str = "data", warn: bool = True
+) -> Mesh:
     """Largest mesh (<= device count) whose size divides the global batch.
 
     The reference requires batch_size % world_size == 0 implicitly
@@ -32,7 +34,7 @@ def make_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
     """
     n_dev = len(jax.devices())
     n = max(k for k in range(1, n_dev + 1) if batch_size % k == 0)
-    if n < n_dev:
+    if n < n_dev and warn:
         import warnings
 
         warnings.warn(
@@ -53,8 +55,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a host batch pytree onto the mesh, sharded along axis 0."""
+    """Place a host batch pytree onto the mesh, sharded along axis 0.
+
+    Single-host: a plain ``device_put`` of the global batch. Multi-host
+    (``jax.process_count() > 1``, after ``jax.distributed.initialize``): each
+    process passes only its *local* slice of the global batch (the loader's
+    ``process_index``/``process_count`` sharding) and the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — a plain
+    device_put cannot address other hosts' devices.
+    """
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -34,10 +34,21 @@ def _ckptr():
 
 
 def _replace_dir(tmp, path):
-    """Swap ``tmp`` into place at ``path`` with the smallest possible window."""
+    """Swap ``tmp`` into place at ``path`` without a destructive window.
+
+    The old checkpoint is renamed aside (cheap) before ``tmp`` moves in, so a
+    crash at any point leaves either the old or the new checkpoint restorable
+    (``restore_checkpoint`` falls back to the ``.old`` sibling); the
+    expensive rmtree happens only after the new one is in place.
+    """
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def save_checkpoint(output_path, state, ep, it, best_val, best_ep, latest=False, best=False):
@@ -79,6 +90,10 @@ def save_checkpoint(output_path, state, ep, it, best_val, best_ep, latest=False,
 def restore_checkpoint(path, state=None):
     """Restore a payload; with ``state`` given, restores typed against it."""
     path = os.path.abspath(path)
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        # a crash mid-_replace_dir left only the renamed-aside previous
+        # checkpoint; it is complete and valid — restore from it
+        path = path + ".old"
     if state is not None:
         template = {
             "epoch": np.int64(0),
@@ -380,6 +395,89 @@ def load_torch_checkpoint(path, graph="shape", **kw):
         meta = {}
     params, stats, report = convert_torch_state_dict(sd, graph=graph, **kw)
     return params, stats, report, meta
+
+
+def _load_pretrain_subtrees(path, graph, keys):
+    """Load (params, batch_stats) subtrees named ``keys`` from a checkpoint.
+
+    ``path`` may be a reference torch ``.ckpt`` file (converted via the key
+    mapping) or one of our orbax checkpoint directories (e.g. the stage-1
+    run's ``best.ckpt``).
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"pretrained checkpoint not found: {path!r}. Stage-1 weights must "
+            "exist before shape training (reference train.py:34-36 auto-"
+            "downloads omnidata; depth.ckpt comes from the depth pretrain "
+            "run). Unset the config key to train from scratch explicitly."
+        )
+    if os.path.isdir(path):
+        payload = _ckptr().restore(path)
+        params_all = payload.get("params", {})
+        stats_all = payload.get("batch_stats", {}) or {}
+        missing = [k for k in keys if k not in params_all]
+        if missing:
+            raise KeyError(
+                f"checkpoint {path} lacks required subtrees {missing}; has "
+                f"{sorted(params_all)}"
+            )
+        params = {k: params_all[k] for k in keys}
+        stats = {k: stats_all[k] for k in keys if k in stats_all}
+    else:
+        params, stats, report, _ = load_torch_checkpoint(path, graph=graph)
+        bad = report["missing"]
+        if bad:
+            raise ValueError(
+                f"torch checkpoint {path} is missing {len(bad)} expected keys "
+                f"(first: {bad[:5]}); refusing a partial pretrained load "
+                "(reference load_state_dict is strict, graph_shape.py:75-80)"
+            )
+        absent = [k for k in keys if k not in params]
+        if absent:
+            raise KeyError(
+                f"converted checkpoint {path} lacks required subtrees "
+                f"{absent} (is this the right kind of checkpoint?)"
+            )
+        params = {k: params[k] for k in keys}
+        stats = {k: stats[k] for k in keys if k in stats}
+    return params, stats
+
+
+def stage_pretrained(state, opt, graph="shape", log=print):
+    """Load pretrained weights into a freshly-initialized train state.
+
+    Reference semantics (graph_shape.load_pretrained_depth,
+    model/compute_graph/graph_shape.py:69-87, and graph_depth.__init__,
+    graph_depth.py:16-19):
+
+      * shape graph: ``opt.pretrain.depth`` (a stage-1 depth-graph
+        checkpoint) loads dpt_depth + intr_head (+ intr projection, which
+        lives inside our IntrHead module); else ``opt.arch.depth.pretrained``
+        (omnidata weights) loads dpt_depth only.
+      * depth graph: ``opt.arch.depth.pretrained`` loads dpt_depth.
+
+    A set-but-absent path raises (the silent alternative trains DPT from
+    random init, which is a recipe-correctness hole, not a default).
+    """
+    pre = (opt.get("pretrain") or {}).get("depth") if graph == "shape" else None
+    omni = opt.arch.depth.get("pretrained")
+    if pre:
+        log(f"loading pretrained dpt depth + intr head from {pre}...")
+        params, stats = _load_pretrain_subtrees(
+            pre, graph="depth", keys=("dpt_depth", "intr_head")
+        )
+    elif omni:
+        log(f"loading pretrained dpt depth from {omni}...")
+        params, stats = _load_pretrain_subtrees(
+            omni, graph="omnidata_dpt", keys=("dpt_depth",)
+        )
+    else:
+        return state
+    new_params = merge_params(state.params, params)
+    new_stats = (
+        merge_params(state.batch_stats, stats) if stats else state.batch_stats
+    )
+    return state.replace(params=new_params, batch_stats=new_stats)
 
 
 def merge_params(template, loaded, strict_shapes=True):

@@ -37,6 +37,7 @@ class Runner(RunnerBase):
         log_print("building networks...")
         self.model = DepthGraph.from_opt(self.opt, dtype=dtype)
         self._eval_fn = None
+        self._viz_fwd = None
 
     def setup_optimizer(self, init_batch):
         log_print("setting up optimizers...")
@@ -49,19 +50,28 @@ class Runner(RunnerBase):
         self.train_step = ptrain.make_train_step(
             self.model, opt, graph_depth.compute_loss, self.mesh
         )
+        self.stage_pretrained()
 
     def variables(self):
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
     def _forward(self):
+        """Jitted eval forward, batch sharded over the eval data mesh
+        (reference evaluates data-parallel across ranks, depth_engine.py:329)."""
         if self._eval_fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from zeroshape_tpu.parallel.mesh import make_mesh_for_batch
+
+            mesh = make_mesh_for_batch(self.opt.eval.batch_size, warn=False)
+            bsh = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
             model = self.model
 
-            @jax.jit
             def fwd(variables, batch):
                 return model.apply(variables, batch, train=False)
 
-            self._eval_fn = fwd
+            self._eval_fn = jax.jit(fwd, in_shardings=(rep, bsh))
         return self._eval_fn
 
     # -- training -------------------------------------------------------------
@@ -72,12 +82,14 @@ class Runner(RunnerBase):
         self.train_metric_logger.add_meter(
             "lr", SmoothedValue(window_size=1, fmt="{value:.6f}")
         )
+        self._loss_buf = []
         self.iter_skip = self.iter_start % max(len(self.train_loader), 1)
         self.it = self.iter_start
         if self.iter_start == 0 and not opt.get("debug"):
             self.evaluate(ep=0, training=True)
         for self.ep in range(self.epoch_start, opt.max_epoch):
             self.train_epoch()
+        self._flush_loss_buf()
         self.save_checkpoint(ep=self.ep, it=self.it)
         log_print("TRAINING DONE")
         log_print("Best l1_err: %.4f @ epoch %d" % (self.best_val, self.best_ep))
@@ -91,6 +103,7 @@ class Runner(RunnerBase):
                 self.iter_skip -= 1
                 continue
             self.train_iteration(batch)
+        self._flush_loss_buf()
         if (self.ep + 1) % opt.freq.eval == 0:
             current_val = self.evaluate(ep=self.ep + 1, training=True)
             if current_val < self.best_val:
@@ -103,20 +116,97 @@ class Runner(RunnerBase):
         sharded = shard_batch(model_batch(batch), self.mesh)
         rng = jax.random.fold_in(jax.random.PRNGKey(opt.get("seed", 0) or 0), self.it)
         self.state, metrics = self.train_step(self.state, sharded, rng)
-        loss_all = float(metrics["loss_all"])
-        assert np.isfinite(loss_all), f"loss is not finite at iter {self.it}"
-        self.train_metric_logger.update(lr=opt.optim.lr, loss=loss_all)
-        if self.it % opt.freq.ckpt_latest == 0 and not opt.get("debug"):
-            self.save_checkpoint(ep=self.ep, it=self.it, latest=True)
-        if self.it % opt.freq.scalar == 0 and not opt.get("debug"):
-            for k, v in metrics.items():
-                self.log_scalar(f"train/{k}", float(v), self.it)
-        if self.it % opt.freq.print == 0:
+        self._note_loss(metrics)
+        it = self.it
+        if (
+            it % opt.freq.print == 0
+            or it % opt.freq.scalar == 0
+            or it % opt.freq.ckpt_latest == 0
+        ):
+            self._flush_loss_buf()
+        if it % opt.freq.ckpt_latest == 0 and not opt.get("debug"):
+            self.save_checkpoint(ep=self.ep, it=it, latest=True)
+        if it % opt.freq.scalar == 0 and not opt.get("debug"):
+            for k, v in jax.device_get(metrics).items():
+                self.log_scalar(f"train/{k}", float(v), it)
+        if it % opt.freq.print == 0:
             log_print(
-                f"Train Iter {self.it}/{self.num_batches * opt.max_epoch}: "
+                f"Train Iter {it}/{self.num_batches * opt.max_epoch}: "
                 f"{self.train_metric_logger}"
             )
+        if not opt.get("debug"):
+            if opt.freq.get("vis") and it % opt.freq.vis == 0:
+                self.visualize_train_batch(batch, it)
+            if opt.freq.get("save_vis") and it % (
+                opt.freq.save_vis * (it // 10000 * 10 + 1)
+            ) == 0:
+                self.vis_train_iter()
         self.it += 1
+
+    def _viz_forward(self, batch):
+        if self._viz_fwd is None:
+            model = self.model
+            self._viz_fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
+        return self._viz_fwd(self.variables(), model_batch(batch))
+
+    def visualize_train_batch(self, batch, step):
+        """TensorBoard image grids at freq.vis (the reference depth engine's
+        visualize() is an empty pass, depth_engine.py:405-407; here the grids
+        are real)."""
+        if self.tb is None:
+            return
+        out = self._viz_forward(batch)
+        vis.tb_image(
+            self.tb, step, "train", "image_input_map",
+            np.asarray(batch["rgb_input_map"]),
+        )
+        vis.tb_image(
+            self.tb, step, "train", "mask_input_map",
+            np.asarray(batch["mask_input_map"]),
+        )
+        vis.tb_image(
+            self.tb, step, "train", "depth_est_map", np.asarray(out["depth_pred"])
+        )
+        vis.tb_image(
+            self.tb, step, "train", "depth_input_map",
+            np.asarray(batch["depth_input_map"]),
+        )
+
+    def vis_train_iter(self):
+        """Viz-sample dumps into vis_log/iter_{it} (reference
+        depth_engine.py:238-252)."""
+        opt = self.opt
+        folder = os.path.join("vis_log", f"iter_{self.it}")
+        for sample in getattr(self, "viz_data", []) or []:
+            out = self._viz_forward(sample)
+            idx = np.asarray(sample["idx"])[:1]
+            vis.dump_images(
+                opt.output_path, idx, "image_input",
+                np.asarray(sample["rgb_input_map"])[:1], folder=folder,
+            )
+            vis.dump_images(
+                opt.output_path, idx, "mask_input",
+                np.asarray(sample["mask_input_map"])[:1], folder=folder,
+            )
+            vis.dump_depths(
+                opt.output_path, idx, "depth_est",
+                np.asarray(out["depth_pred"])[:1],
+                np.asarray(sample["mask_input_map"])[:1],
+                rescale=True, folder=folder,
+            )
+            vis.dump_depths(
+                opt.output_path, idx, "depth_input",
+                np.asarray(sample["depth_input_map"])[:1],
+                np.asarray(sample["mask_input_map"])[:1],
+                rescale=True, folder=folder,
+            )
+            if "seen_points_pred" in out and "seen_points_gt" in out:
+                vis.dump_pointclouds_compare(
+                    opt.output_path, idx, "seen_surface",
+                    np.asarray(out["seen_points_pred"])[:1],
+                    np.asarray(out["seen_points_gt"])[:1],
+                    folder=folder,
+                )
 
     # -- evaluation -------------------------------------------------------------
     def evaluate(self, ep, training=False):

@@ -85,7 +85,42 @@ class RunnerBase:
 
         return [default_collate([self.test_data[i]]) for i in range(0, n, step)][:n_vis]
 
+    # -- async train-loop metrics ---------------------------------------------
+    # The jitted train step dispatches asynchronously; calling float(loss)
+    # every iteration blocks on the result and serializes the loop (each
+    # dispatch carries a ~30 ms floor on the axon backend — BASELINE.md).
+    # Instead the per-step device scalars are buffered and host-synced in one
+    # transfer at print/scalar/ckpt boundaries, which also runs the finite-
+    # loss gate (reference asserts every step, shape_engine.py:327-328; here
+    # the gate runs before anything is logged or checkpointed).
+
+    def _note_loss(self, metrics):
+        self._loss_buf.append(metrics["loss_all"])
+
+    def _flush_loss_buf(self):
+        if not getattr(self, "_loss_buf", None):
+            return
+        import jax
+        import jax.numpy as jnp
+
+        vals = np.asarray(jax.device_get(jnp.stack(self._loss_buf)))
+        self._loss_buf.clear()
+        assert np.isfinite(vals).all(), (
+            f"loss is not finite within {len(vals)} iters of iter {self.it}"
+        )
+        for v in vals:
+            self.train_metric_logger.update(lr=self.opt.optim.lr, loss=float(v))
+
     # -- checkpoints ----------------------------------------------------------
+    def stage_pretrained(self):
+        """Load pretrained depth/intr weights into the fresh state (reference
+        Graph.__init__ -> load_pretrained_depth, graph_shape.py:69-87). Runs
+        before restore_checkpoint, so --resume/--load override it, exactly as
+        the reference's constructor-then-restore ordering does."""
+        self.state = ckpt_util.stage_pretrained(
+            self.state, self.opt, graph=self.graph_name, log=log_print
+        )
+
     def restore_checkpoint(self, best=False, evaluate=False):
         opt = self.opt
         if opt.get("resume"):

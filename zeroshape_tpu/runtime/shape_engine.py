@@ -57,7 +57,19 @@ class Runner(RunnerBase):
         log_print("building networks...")
         self.model = ShapeGraph.from_opt(self.opt, dtype=dtype)
         self._recon_cache = {}
-        self._score_default = None
+        self._recon_attn_cache = {}
+        self._score_cache = {}
+        self._bf_cache = {}
+        self._viz_fwd = None
+
+    def _eval_mesh(self, batch_size):
+        """Data mesh for evaluation at this batch size (reference evaluates
+        data-parallel across all ranks, shape_engine.py:413-429; here the
+        eval batch is sharded over as many devices as divide it — raise
+        eval.batch_size to a device-count multiple for full utilization)."""
+        from zeroshape_tpu.parallel.mesh import make_mesh_for_batch
+
+        return make_mesh_for_batch(batch_size, warn=False)
 
     def setup_optimizer(self, init_batch):
         log_print("setting up optimizers...")
@@ -80,23 +92,42 @@ class Runner(RunnerBase):
         self.train_step = ptrain.make_train_step(
             self.model, opt, graph_shape.compute_loss, self.mesh
         )
+        self.stage_pretrained()
 
     def variables(self):
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
     # -- jitted reconstruction --------------------------------------------------
-    def _recon_fn(self, batch_size):
-        """image batch -> (outputs, level grid, world-frame surface samples)."""
-        if batch_size in self._recon_cache:
-            return self._recon_cache[batch_size]
+    def _recon_fn(self, batch_size, mesh=None, training=True):
+        """image batch -> (outputs, level grid, world-frame surface samples).
+
+        The batch is sharded over the eval mesh's data axis (params
+        replicated), so the grid decode and surface sampling for each sample
+        run on their own device.
+
+        ``training=True`` (in-training validation / viz) may use the
+        coarse-to-fine decode (``eval.hier_decode``); final metric runs
+        (``training=False``) use the exact dense decode unless
+        ``eval.hier_final`` opts in — the hier margin heuristic is exact on
+        every tested field, but a saturated trained decoder could in
+        principle hide sub-cell features from the coarse pass, so reported
+        numbers default to the exhaustive path.
+        """
+        key = (batch_size, bool(training))
+        if key in self._recon_cache:
+            return self._recon_cache[key]
         opt = self.opt
         vox = opt.eval.vox_res
         lo, hi = opt.eval.range
         S = vox + 1
         num_points = opt.eval.num_points
         model = self.model
+        mesh = mesh or self._eval_mesh(batch_size)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        @jax.jit
+        bsh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+
         def recon(variables, batch, key):
             out = model.apply(variables, batch, train=False, with_supervision=False)
 
@@ -111,8 +142,13 @@ class Runner(RunnerBase):
                     method=run,
                 )
 
-            use_hier = (
+            hier_allowed = (
                 opt.eval.get("hier_decode", True)
+                if training
+                else bool(opt.eval.get("hier_final", False))
+            )
+            use_hier = (
+                hier_allowed
                 and vox % 4 == 0
                 and eval3d.hier_decode_saves_work(vox, opt.eval.get("hier_capacity"))
             )
@@ -147,17 +183,21 @@ class Runner(RunnerBase):
             world = pts / S * (hi - lo) + lo
             return out, level, world
 
-        self._recon_cache[batch_size] = recon
-        return recon
+        jitted = jax.jit(recon, in_shardings=(rep, bsh, rep))
+        self._recon_cache[key] = jitted
+        return jitted
 
-    def _score_fn(self):
-        if self._score_default is not None:
-            return self._score_default
+    def _score_fn(self, batch_size, mesh=None):
+        if batch_size in self._score_cache:
+            return self._score_cache[batch_size]
         opt = self.opt
         thresholds = tuple(opt.eval.f_thresholds)
         use_icp = bool(opt.eval.get("icp"))
+        mesh = mesh or self._eval_mesh(batch_size)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        @jax.jit
+        bsh = NamedSharding(mesh, P("data"))
+
         def score(pred_world, gt_view):
             pred_n = eval3d.normalize_pc(pred_world)
             gt_n = eval3d.normalize_pc(gt_view)
@@ -167,8 +207,69 @@ class Runner(RunnerBase):
             f = eval3d.compute_fscore(acc_d, comp_d, thresholds)
             return acc_d.mean(axis=1), comp_d.mean(axis=1), f, pred_n, gt_n
 
-        self._score_default = score
-        return score
+        jitted = jax.jit(score, in_shardings=(bsh, bsh))
+        self._score_cache[batch_size] = jitted
+        return jitted
+
+    def _recon_attn_fn(self, batch_size=1):
+        """Dense reconstruction that also returns z-averaged attention maps
+        (reference computes these for the visualization subset only:
+        eval_metrics(vis_only=True) -> compute_level_grid(vis_attn=True),
+        utils/eval_3D.py:47-81)."""
+        if batch_size in self._recon_attn_cache:
+            return self._recon_attn_cache[batch_size]
+        opt = self.opt
+        vox = opt.eval.vox_res
+        lo, hi = opt.eval.range
+        S = vox + 1
+        num_points = opt.eval.num_points
+        model = self.model
+
+        @jax.jit
+        def recon(variables, batch, key):
+            out = model.apply(variables, batch, train=False)
+
+            def decode_fn(pts):
+                def run(mdl, latent, sem, p):
+                    caches = mdl.impl_network.encode(latent, sem)
+                    return mdl.impl_network.decode(caches, p)
+
+                return model.apply(
+                    variables, out["latent_depth"], out["latent_semantic"], pts,
+                    method=run,
+                )
+
+            grid_pts = eval3d.get_dense_3D_grid(vox, (lo, hi))
+            occ, attn_xy = eval3d.occupancy_grid_with_attn(
+                decode_fn, grid_pts, batch_size=batch_size, vox_res=vox,
+                tile_points=S * S,
+            )
+            level = occ.reshape(batch_size, S, S, S)
+            keys = jax.random.split(key, batch_size)
+            pts = jax.vmap(
+                lambda lv, k: sample_surface_points(lv, k, num_points)
+            )(level, keys)
+            world = pts / S * (hi - lo) + lo
+            return out, level, world, attn_xy
+
+        self._recon_attn_cache[batch_size] = recon
+        return recon
+
+    def _brute_force_fn(self, batch_size, mesh=None):
+        """Batched, mesh-sharded brute-force alignment (replaces the per-
+        sample Python loop; reference protocol eval_3D.py:140-170)."""
+        if batch_size in self._bf_cache:
+            return self._bf_cache[batch_size]
+        opt = self.opt
+        prune = opt.eval.get("bf_prune", (1024, 128))
+        fn = eval3d.make_brute_force_batch(
+            mesh=mesh or self._eval_mesh(batch_size),
+            thresholds=tuple(opt.eval.f_thresholds),
+            prune=tuple(prune) if prune else None,
+            fast_coarse=bool(opt.eval.get("bf_fast_coarse", True)),
+        )
+        self._bf_cache[batch_size] = fn
+        return fn
 
     # -- training ----------------------------------------------------------------
     def train(self):
@@ -178,12 +279,14 @@ class Runner(RunnerBase):
         self.train_metric_logger.add_meter(
             "lr", SmoothedValue(window_size=1, fmt="{value:.6f}")
         )
+        self._loss_buf = []
         self.iter_skip = self.iter_start % max(len(self.train_loader), 1)
         self.it = self.iter_start
         if self.iter_start == 0 and not opt.get("debug"):
             self.evaluate(ep=0, training=True)
         for self.ep in range(self.epoch_start, opt.max_epoch):
             self.train_epoch()
+        self._flush_loss_buf()
         self.save_checkpoint(ep=self.ep, it=self.it)
         if self.tb:
             self.tb.flush()
@@ -207,6 +310,7 @@ class Runner(RunnerBase):
                 jax.profiler.stop_trace()
                 log_print("profiler trace written to debug/profiler_log; exiting")
                 raise SystemExit(0)
+        self._flush_loss_buf()
         if (self.ep + 1) % opt.freq.eval == 0:
             log_print(f"validating epoch {self.ep + 1}")
             current_val = self.evaluate(ep=self.ep + 1, training=True)
@@ -220,27 +324,41 @@ class Runner(RunnerBase):
         sharded = shard_batch(model_batch(batch), self.mesh)
         rng = jax.random.fold_in(jax.random.PRNGKey(opt.get("seed", 0) or 0), self.it)
         self.state, metrics = self.train_step(self.state, sharded, rng)
-        loss_all = float(metrics["loss_all"])
-        assert np.isfinite(loss_all), f"loss is not finite at iter {self.it}"
-        self.train_metric_logger.update(lr=opt.optim.lr, loss=loss_all)
-        if self.it % opt.freq.ckpt_latest == 0 and not opt.get("debug"):
-            self.save_checkpoint(ep=self.ep, it=self.it, latest=True)
-        if self.it % opt.freq.scalar == 0 and not opt.get("debug"):
-            for k, v in metrics.items():
-                self.log_scalar(f"train/{k}", float(v), self.it)
-        if self.it % opt.freq.print == 0:
+        self._note_loss(metrics)
+        it = self.it
+        if (
+            it % opt.freq.print == 0
+            or it % opt.freq.scalar == 0
+            or it % opt.freq.ckpt_latest == 0
+        ):
+            self._flush_loss_buf()
+        if it % opt.freq.ckpt_latest == 0 and not opt.get("debug"):
+            self.save_checkpoint(ep=self.ep, it=it, latest=True)
+        if it % opt.freq.scalar == 0 and not opt.get("debug"):
+            for k, v in jax.device_get(metrics).items():
+                self.log_scalar(f"train/{k}", float(v), it)
+        if it % opt.freq.print == 0:
             log_print(
-                f"Train Iter {self.it}/{self.num_batches * opt.max_epoch}: "
+                f"Train Iter {it}/{self.num_batches * opt.max_epoch}: "
                 f"{self.train_metric_logger}"
             )
+        if not opt.get("debug"):
+            if opt.freq.get("vis") and it % opt.freq.vis == 0:
+                self.visualize_train_batch(batch, it)
+            # reference stretches the dump cadence 10x per 10k iters
+            # (shape_engine.py:290)
+            if opt.freq.get("save_vis") and it % (
+                opt.freq.save_vis * (it // 10000 * 10 + 1)
+            ) == 0:
+                self.vis_train_iter()
         self.it += 1
 
     # -- evaluation ----------------------------------------------------------------
     def evaluate(self, ep, training=False):
         opt = self.opt
         eval_bs = opt.eval.batch_size
-        recon = self._recon_fn(eval_bs)
-        score = self._score_fn()
+        recon = self._recon_fn(eval_bs, training=training)
+        score = self._score_fn(eval_bs)
         metric_logger = MetricLogger(delimiter="  ")
         cd_accs, cd_comps, f_scores, cat_indices, indices = [], [], [], [], []
         results_file = None
@@ -266,19 +384,16 @@ class Runner(RunnerBase):
             out, level, pred_world = recon(
                 self.variables(), model_batch(batch_p), key
             )
-            self._check_hier_overflow(out)
+            self._check_hier_overflow(out, training)
             gt_view = eval3d.transform_gt_to_view(
                 jnp.asarray(batch_p["dpc"]["points"]),
                 jnp.asarray(batch_p["pose_gt"]),
                 flip_xy=flip,
             )
             if opt.eval.get("brute_force"):
-                prune = opt.eval.get("bf_prune", (1024, 128))
-                accs, comps, fs, pred_n, gt_n = _brute_force_batch(
-                    pred_world, gt_view, tuple(opt.eval.f_thresholds),
-                    prune=tuple(prune) if prune else None,
-                    fast_coarse=bool(opt.eval.get("bf_fast_coarse", True)),
-                )
+                res = self._brute_force_fn(eval_bs)(pred_world, gt_view)
+                accs, comps, fs = res["acc"], res["comp"], res["f_score"]
+                pred_n, gt_n = res["pc_pred"], res["pc_gt"]
             else:
                 accs, comps, fs, pred_n, gt_n = score(pred_world, gt_view)
             accs, comps, fs = (np.asarray(x) for x in (accs, comps, fs))
@@ -364,9 +479,10 @@ class Runner(RunnerBase):
             skip_every=10,
         )
 
-    def dump_results(self, batch, out, level, pred_n, gt_n, ep, B0, train=False):
+    def dump_results(self, batch, out, level, pred_n, gt_n, ep, B0, train=False, folder=None):
         opt = self.opt
-        folder = f"dump_{opt.data.dataset_test}" if not train else f"vis_{ep}"
+        if folder is None:
+            folder = f"dump_{opt.data.dataset_test}" if not train else f"vis_{ep}"
         idx = np.asarray(batch["idx"])[:B0]
         vis.dump_images(
             opt.output_path, idx, "image_input",
@@ -399,45 +515,120 @@ class Runner(RunnerBase):
             np.asarray(pred_n)[:B0], np.asarray(gt_n)[:B0], folder=folder,
         )
 
-    def _check_hier_overflow(self, out):
-        """Warn (once) if the coarse-to-fine decode dropped active cells."""
-        if "hier_n_active" not in out or getattr(self, "_hier_warned", False):
+    def _check_hier_overflow(self, out, training=True):
+        """Capacity overflow in the coarse-to-fine decode: warn once during
+        in-training validation, fail hard when it would corrupt reported
+        metrics (a dropped active cell silently under-refines the surface)."""
+        if "hier_n_active" not in out:
             return
         opt = self.opt
         cap = eval3d.resolve_hier_capacity(
             opt.eval.vox_res, opt.eval.get("hier_capacity")
         )
         n_active = int(np.max(np.asarray(out["hier_n_active"])))
-        if n_active > cap:
+        if n_active <= cap:
+            return
+        msg = (
+            f"hier_decode active cells ({n_active}) exceed eval.hier_capacity "
+            f"({cap}); surface may be under-refined. Raise eval.hier_capacity "
+            "or use the dense decode (--eval.hier_final! / --eval.hier_decode!)."
+        )
+        if not training:
+            raise RuntimeError(msg)
+        if not getattr(self, "_hier_warned", False):
             self._hier_warned = True
-            log_print(
-                f"WARNING: hier_decode active cells ({n_active}) exceed "
-                f"eval.hier_capacity ({cap}); surface may be under-refined. "
-                "Raise eval.hier_capacity or disable with --eval.hier_decode!."
-            )
+            log_print("WARNING: " + msg)
 
     def _dump_viz(self, ep):
         opt = self.opt
         if not self.viz_data:
             return
         log_print("visualizing and saving results...")
-        recon = self._recon_fn(1)
-        for sample in self.viz_data:
-            key = jax.random.PRNGKey(int(np.asarray(sample["idx"])[0]))
-            out, level, pred_world = recon(self.variables(), model_batch(sample), key)
-            gt_view = eval3d.transform_gt_to_view(
-                jnp.asarray(sample["dpc"]["points"]),
-                jnp.asarray(sample["pose_gt"]),
-                flip_xy=opt.data.dataset_test == "pix3d",
-            )
-            pred_n = eval3d.normalize_pc(pred_world)
-            gt_n = eval3d.normalize_pc(gt_view)
-            self.dump_results(sample, out, level, pred_n, gt_n, ep, 1, train=True)
+        self._dump_viz_samples(f"vis_{ep}", ep)
         vis.create_gif_html(
             os.path.join(opt.output_path, f"vis_{ep}"),
             os.path.join(opt.output_path, f"results_ep{ep}.html"),
             skip_every=1,
         )
+
+    def _dump_viz_samples(self, folder, ep):
+        """Per-viz-sample dumps incl. the attention GIF and seen-surface
+        comparison (reference shape_engine.py:296-319, 393-405; attention
+        assembly utils/eval_3D.py:47-81)."""
+        opt = self.opt
+        recon = self._recon_attn_fn(1)
+        feat_res = opt.H // opt.arch.win_size
+        vox = opt.eval.vox_res
+        for sample in self.viz_data:
+            key = jax.random.PRNGKey(int(np.asarray(sample["idx"])[0]))
+            out, level, pred_world, attn_xy = recon(
+                self.variables(), model_batch(sample), key
+            )
+            pred_n = eval3d.normalize_pc(pred_world)
+            if "dpc" in sample:
+                gt_view = eval3d.transform_gt_to_view(
+                    jnp.asarray(sample["dpc"]["points"]),
+                    jnp.asarray(sample["pose_gt"]),
+                    flip_xy=opt.data.dataset_test == "pix3d",
+                )
+                gt_n = eval3d.normalize_pc(gt_view)
+            else:
+                gt_n = pred_n
+            self.dump_results(
+                sample, out, level, pred_n, gt_n, ep, 1, train=True, folder=folder
+            )
+            idx = np.asarray(sample["idx"])[:1]
+            frames = eval3d.attention_frames(
+                np.asarray(attn_xy[0]),
+                np.asarray(sample["rgb_input_map"])[0],
+                vox,
+                feat_res,
+            )
+            vis.dump_attentions(opt.output_path, idx, "attn", [frames], folder=folder)
+            if "gt_surf_points" in out and "seen_points" in out:
+                vis.dump_pointclouds_compare(
+                    opt.output_path, idx, "seen_surface",
+                    np.asarray(out["seen_points"])[:1],
+                    np.asarray(out["gt_surf_points"])[:1],
+                    folder=folder,
+                )
+
+    def vis_train_iter(self):
+        """Periodic training-time viz dumps into vis_log/iter_{it}
+        (reference shape_engine.py:290-291, 299-318)."""
+        if not self.viz_data:
+            return
+        self._dump_viz_samples(os.path.join("vis_log", f"iter_{self.it}"), self.ep)
+
+    def visualize_train_batch(self, batch, step):
+        """TensorBoard image grids from the current train batch (reference
+        Runner.visualize, shape_engine.py:546-562, wired at freq.vis — the
+        reference ships this call commented out for the shape task; here the
+        flag is live)."""
+        if self.tb is None:
+            return
+        if self._viz_fwd is None:
+            model = self.model
+            self._viz_fwd = jax.jit(
+                lambda v, b: model.apply(v, b, train=False, with_supervision=False)
+            )
+        out = self._viz_fwd(self.variables(), model_batch(batch))
+        vis.tb_image(
+            self.tb, step, "train", "image_input_map",
+            np.asarray(batch["rgb_input_map"]),
+        )
+        vis.tb_image(
+            self.tb, step, "train", "mask_input_map",
+            np.asarray(batch["mask_input_map"]),
+        )
+        vis.tb_image(
+            self.tb, step, "train", "depth_est_map", np.asarray(out["depth_pred"])
+        )
+        if "depth_input_map" in batch:
+            vis.tb_image(
+                self.tb, step, "train", "depth_input_map",
+                np.asarray(batch["depth_input_map"]),
+            )
 
 
 def _pad_batch(batch, target):
@@ -455,24 +646,3 @@ def _pad_batch(batch, target):
     return jax.tree.map(pad_leaf, batch)
 
 
-def _brute_force_batch(
-    pred_world, gt_view, thresholds, prune=(1024, 128), fast_coarse=True
-):
-    accs, comps, fs, preds, gts = [], [], [], [], []
-    for b in range(pred_world.shape[0]):
-        res = eval3d.brute_force_search(
-            pred_world[b], gt_view[b], thresholds=thresholds, prune=prune,
-            fast_coarse=fast_coarse,
-        )
-        accs.append(res["acc"])
-        comps.append(res["comp"])
-        fs.append(res["f_score"])
-        preds.append(res["pc_pred"])
-        gts.append(res["pc_gt"])
-    return (
-        jnp.stack(accs),
-        jnp.stack(comps),
-        jnp.stack(fs),
-        jnp.stack(preds),
-        jnp.stack(gts),
-    )
