@@ -100,3 +100,111 @@ def test_dpt_backbone_taps_match_torch(oracle_and_params):
     np.testing.assert_allclose(
         np.asarray(j4), t4.numpy(), rtol=1e-4, atol=1e-4, err_msg="ViT block-11 tap"
     )
+
+
+# ---------------------------------------------------------------------------
+# Shape-graph components: coord encoder (BN), implicit decoder, intr head
+# ---------------------------------------------------------------------------
+
+from torch_oracle_shape import (
+    CoordEncResOracle,
+    ImplicitOracle,
+    IntrHeadOracle,
+    randomize_with_buffers_,
+)
+
+
+@pytest.fixture(scope="module")
+def shape_oracles():
+    coord = randomize_with_buffers_(CoordEncResOracle(), seed=11).eval()
+    intr = randomize_with_buffers_(IntrHeadOracle(), seed=12).eval()
+    impl = randomize_with_buffers_(ImplicitOracle(), seed=13).eval()
+    sd = {}
+    for prefix, mod in (("coord_encoder.", coord), ("impl_network.", impl)):
+        sd.update({prefix + k: v.numpy() for k, v in mod.state_dict().items()})
+    sd.update({k: v.numpy() for k, v in intr.state_dict().items()})
+    # the converter maps the full shape graph; add the DPT oracle's keys too
+    from torch_oracle_dpt import DPTDepthOracle, randomize_
+
+    dpt = randomize_(DPTDepthOracle(H=H, W=H), seed=14).eval()
+    sd.update({"dpt_depth." + k: v.numpy() for k, v in dpt.state_dict().items()})
+    params, stats, report = ckpt.convert_torch_state_dict(sd, graph="shape")
+    assert report["missing"] == [], report["missing"][:5]
+    assert report["unconsumed"] == [], report["unconsumed"][:5]
+    return coord, intr, impl, params, stats
+
+
+@pytest.mark.slow
+def test_coord_encoder_matches_torch(shape_oracles):
+    """BN-ResNet50 coord encoder: eval-mode BatchNorm running statistics,
+    torch k//2 padding, pooled-fc global token, layer3 local tokens
+    (reference seen_coord_enc.py:141-194)."""
+    coord, _, _, params, stats = shape_oracles
+    from zeroshape_tpu.models.coord_enc import CoordEncRes
+
+    rng = np.random.default_rng(2)
+    cm = rng.normal(size=(2, H, H, 3)).astype(np.float32)
+    mask = (rng.uniform(size=(2, H, H, 1)) > 0.4).astype(np.float32)
+
+    with torch.no_grad():
+        ref = coord(
+            torch.from_numpy(cm).permute(0, 3, 1, 2),
+            torch.from_numpy(mask).permute(0, 3, 1, 2),
+        ).numpy()
+
+    ours = CoordEncRes(latent_dim=256).apply(
+        {
+            "params": params["coord_encoder"],
+            "batch_stats": stats["coord_encoder"],
+        },
+        jnp.asarray(cm),
+        jnp.asarray(mask),
+        False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_intr_head_matches_torch(shape_oracles):
+    _, intr, _, params, stats = shape_oracles
+    from zeroshape_tpu.models.graph_shape import IntrHead
+
+    rng = np.random.default_rng(3)
+    feat = rng.normal(size=(2, 4, 4, 768)).astype(np.float32)
+    with torch.no_grad():
+        ref = intr(torch.from_numpy(feat).permute(0, 3, 1, 2)).numpy()
+    ours = IntrHead().apply(
+        {"params": params["intr_head"], "batch_stats": stats["intr_head"]},
+        jnp.asarray(feat),
+        False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_implicit_matches_torch(shape_oracles):
+    """Masked joint attention + skip MLP: the factored encode/decode must
+    reproduce the reference's joint-sequence formulation with converted
+    weights (implicit.py:11-288), including the baked sin-cos pos embed."""
+    _, _, impl, params, stats = shape_oracles
+    from zeroshape_tpu.models.implicit import Implicit
+
+    rng = np.random.default_rng(4)
+    latent = rng.normal(size=(2, 17, 256)).astype(np.float32)
+    pts = (rng.uniform(size=(2, 50, 3)) * 2 - 1).astype(np.float32)
+    with torch.no_grad():
+        occ_t, attn_t = impl(torch.from_numpy(latent), torch.from_numpy(pts))
+
+    m = Implicit(num_patches=16, latent_dim=256, drop_path=0.0)
+    occ_j, attn_j = m.apply(
+        {"params": params["impl_network"]},
+        jnp.asarray(latent),
+        None,
+        jnp.asarray(pts),
+    )
+    np.testing.assert_allclose(
+        np.asarray(occ_j), occ_t.numpy(), rtol=2e-4, atol=2e-4,
+        err_msg="occupancy logits diverge",
+    )
+    np.testing.assert_allclose(
+        np.asarray(attn_j), attn_t.numpy(), rtol=2e-4, atol=2e-4,
+        err_msg="attention visualization weights diverge",
+    )
