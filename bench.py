@@ -28,7 +28,7 @@ NUM_POINTS = 10000
 CAPACITY = 4096  # refined-cell budget; overflow reported on stderr
 
 
-def build():
+def build(use_fused=None):
     from zeroshape_tpu.metrics import eval3d
     from zeroshape_tpu.models.graph_shape import ShapeGraph
     from zeroshape_tpu.ops.marching_cubes import sample_surface_points_cells
@@ -48,25 +48,52 @@ def build():
     S = VOX_RES + 1
     lo, hi = -1.5, 1.5
 
+    from zeroshape_tpu.ops import implicit_kernel
+
+    if use_fused is None:
+        use_fused = on_tpu and implicit_kernel.fused_supported(opt)
+
     @jax.jit
     def reconstruct(variables, batch, key):
         out = model.apply(
             variables, batch, train=False, with_supervision=False, mutable=False
         )
 
-        def decode_fn(pts):
-            def run(mdl, latent, p):
-                caches = mdl.impl_network.encode(latent)
-                occ, _ = mdl.impl_network.decode(caches, p)
-                return occ
+        # x25 logit sharpening: BCE-trained occupancy decoders saturate
+        # (|logit| ~ O(10) away from the surface) while random-init
+        # logits hover near 0, which marks EVERY coarse cell as
+        # near-surface — a regime no trained model exhibits. The scale
+        # keeps the architecture, FLOPs and zero-level set identical and
+        # restores a production-like active-cell count.
+        if use_fused:
+            # fused Pallas decoder (ops/implicit_kernel.py): whole decoder +
+            # latent caches resident in VMEM; wins the hier-path A/B vs the
+            # XLA decode (BASELINE.md)
+            caches = model.apply(
+                variables, out["latent_depth"],
+                method=lambda mdl, l: mdl.impl_network.encode(l),
+            )
+            packed = implicit_kernel.pack_decoder_params(
+                variables["params"]["impl_network"]
+            )
 
-            # x25 logit sharpening: BCE-trained occupancy decoders saturate
-            # (|logit| ~ O(10) away from the surface) while random-init
-            # logits hover near 0, which marks EVERY coarse cell as
-            # near-surface — a regime no trained model exhibits. The scale
-            # keeps the architecture, FLOPs and zero-level set identical and
-            # restores a production-like active-cell count.
-            return 25.0 * model.apply(variables, out["latent_depth"], pts, method=run)
+            def decode_fn(pts):
+                occ = implicit_kernel.fused_decode(
+                    pts[0], caches, packed, latent_len=caches[0][0].shape[2]
+                )
+                return 25.0 * occ[None]
+
+        else:
+
+            def decode_fn(pts):
+                def run(mdl, latent, p):
+                    caches = mdl.impl_network.encode(latent)
+                    occ, _ = mdl.impl_network.decode(caches, p)
+                    return occ
+
+                return 25.0 * model.apply(
+                    variables, out["latent_depth"], pts, method=run
+                )
 
         # coarse-to-fine decode: exact same surface as the dense 129^3 pass
         # (tests/test_hierarchical_decode.py), ~4x less decoder work;

@@ -217,14 +217,20 @@ def test_shape_engine_eval_brute_force_hier(tmp_path):
         if not k.startswith("gt_")
     }
     runner.setup_optimizer(sample)
-    runner.evaluate(ep=0, training=False)
-    out = opt.output_path
-    lines = open(os.path.join(out, "synthetic_full_results.txt")).read().splitlines()
-    assert len(lines) == 1 + len(runner.test_data)
-    # metric rows are finite numbers
-    for ln in lines[1:]:
-        vals = [float(v) for v in ln.split(",")[1:]]
-        assert all(np.isfinite(v) for v in vals)
+
+    # A random-init field crosses zero in most coarse cells, so the active
+    # set overflows the capacity — on a FINAL metric run the engine must
+    # refuse to report under-refined numbers (hard gate per the round-1
+    # advisory); in-training validation only warns and completes. Both
+    # behaviors are asserted here; result-file writing on the dense final
+    # path is covered by test_shape_engine_end_to_end.
+    import pytest
+
+    with pytest.raises(RuntimeError, match="hier_decode active cells"):
+        runner.evaluate(ep=0, training=False)
+
+    val = runner.evaluate(ep=0, training=True)
+    assert np.isfinite(val)
 
 
 def test_setup_optimizer_from_test_sample(tmp_path):

@@ -44,6 +44,27 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def fused_supported(opt) -> bool:
+    """True when ``opt.arch`` matches the shapes this kernel is specialized
+    to (the shipped config: C=256, 8 heads, 2 attention blocks, mlp_ratio 4,
+    8 hidden MLP layers + output = 9 linears, skips at {2,4,6}, no 3D
+    positional encoding). Callers fall back to the XLA decode otherwise.
+    Only the decode-side stack matters — the latent trunk (and hence the
+    optional semantic stream) runs outside this kernel.
+    """
+    impl = opt.arch.impl
+    return (
+        opt.arch.latent_dim == 256
+        and opt.arch.num_heads == 8
+        and impl.n_channels == 256
+        and impl.att_blocks == 2
+        and impl.mlp_layers == 8
+        and float(impl.mlp_ratio) == 4.0
+        and tuple(impl.skip_in) == (2, 4, 6)
+        and int(impl.posenc_3D or 0) == 0
+    )
+
+
 def pack_decoder_params(impl_params: Dict[str, Any], n_blocks: int = 2, n_mlp_linears: int = 9):
     """Stack the implicit decoder's params into kernel-friendly arrays."""
     p = impl_params
@@ -79,10 +100,25 @@ def _layernorm(x, scale, bias, eps=1e-6):
     return ((x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias)
 
 
+def _erf(x):
+    # Abramowitz & Stegun 7.1.26 rational approximation (|err| < 1.5e-7),
+    # used because lax.erf has no Pallas/Mosaic TPU lowering. The error is
+    # ~100x below the kernel's bf16 matmul noise floor, so the fused decode
+    # still matches the exact-gelu XLA path within test tolerance.
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _gelu(x):
     # exact erf GELU (torch nn.GELU; matches models/layers.gelu_exact)
     x32 = x.astype(jnp.float32)
-    return 0.5 * x32 * (1.0 + jax.lax.erf(x32 * 0.7071067811865476))
+    return 0.5 * x32 * (1.0 + _erf(x32 * 0.7071067811865476))
 
 
 def _softplus100(x):

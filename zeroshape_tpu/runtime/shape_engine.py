@@ -23,6 +23,7 @@ import numpy as np
 from zeroshape_tpu import vis
 from zeroshape_tpu.metrics import eval3d
 from zeroshape_tpu.models import graph_shape
+from zeroshape_tpu.ops import implicit_kernel
 from zeroshape_tpu.models.graph_shape import ShapeGraph
 from zeroshape_tpu.ops.marching_cubes import (
     marching_cubes_mesh,
@@ -128,30 +129,65 @@ class Runner(RunnerBase):
         bsh = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
 
+        hier_allowed = (
+            opt.eval.get("hier_decode", True)
+            if training
+            else bool(opt.eval.get("hier_final", False))
+        )
+        use_hier = (
+            hier_allowed
+            and vox % 4 == 0
+            and eval3d.hier_decode_saves_work(vox, opt.eval.get("hier_capacity"))
+        )
+        # fused Pallas decoder for the coarse-to-fine passes: streams point
+        # tiles through the whole decoder with weights/latent caches resident
+        # in VMEM (ops/implicit_kernel.py). Beats the XLA decode on the hier
+        # path (BASELINE.md A/B); dense decode stays XLA, where it is faster.
+        fused_mode = opt.eval.get("fused_decoder", True)
+        use_fused = (
+            use_hier
+            and batch_size == 1
+            and bool(fused_mode)
+            and implicit_kernel.fused_supported(opt)
+            and (
+                fused_mode == "interpret"
+                or jax.devices()[0].platform in ("tpu", "axon")
+            )
+        )
+
         def recon(variables, batch, key):
             out = model.apply(variables, batch, train=False, with_supervision=False)
 
-            def decode_fn(pts):
-                def run(mdl, latent, sem, p):
-                    caches = mdl.impl_network.encode(latent, sem)
-                    occ, _ = mdl.impl_network.decode(caches, p)
-                    return occ
-
-                return model.apply(
-                    variables, out["latent_depth"], out["latent_semantic"], pts,
-                    method=run,
+            if use_fused:
+                caches = model.apply(
+                    variables, out["latent_depth"], out["latent_semantic"],
+                    method=lambda mdl, l, s: mdl.impl_network.encode(l, s),
                 )
+                packed = implicit_kernel.pack_decoder_params(
+                    variables["params"]["impl_network"]
+                )
+                latent_len = caches[0][0].shape[2]
 
-            hier_allowed = (
-                opt.eval.get("hier_decode", True)
-                if training
-                else bool(opt.eval.get("hier_final", False))
-            )
-            use_hier = (
-                hier_allowed
-                and vox % 4 == 0
-                and eval3d.hier_decode_saves_work(vox, opt.eval.get("hier_capacity"))
-            )
+                def decode_fn(pts):
+                    occ = implicit_kernel.fused_decode(
+                        pts[0], caches, packed, latent_len=latent_len,
+                        interpret=fused_mode == "interpret",
+                    )
+                    return occ[None]
+
+            else:
+
+                def decode_fn(pts):
+                    def run(mdl, latent, sem, p):
+                        caches = mdl.impl_network.encode(latent, sem)
+                        occ, _ = mdl.impl_network.decode(caches, p)
+                        return occ
+
+                    return model.apply(
+                        variables, out["latent_depth"], out["latent_semantic"], pts,
+                        method=run,
+                    )
+
             keys = jax.random.split(key, batch_size)
             if use_hier:
                 # coarse-to-fine decode: identical surface, ~4x less decoder
@@ -337,6 +373,8 @@ class Runner(RunnerBase):
         if it % opt.freq.scalar == 0 and not opt.get("debug"):
             for k, v in jax.device_get(metrics).items():
                 self.log_scalar(f"train/{k}", float(v), it)
+            if "dpc" in batch:
+                self._log_train_shape_metrics(batch, it)
         if it % opt.freq.print == 0:
             log_print(
                 f"Train Iter {it}/{self.num_batches * opt.max_epoch}: "
@@ -514,6 +552,29 @@ class Runner(RunnerBase):
             opt.output_path, idx, "pointclouds_comp",
             np.asarray(pred_n)[:B0], np.asarray(gt_n)[:B0], folder=folder,
         )
+
+    def _log_train_shape_metrics(self, batch, it):
+        """Train-split Chamfer at the scalar cadence (reference log_scalars'
+        train branch runs eval_metrics on the current train batch,
+        shape_engine.py:526-529). Decodes the first eval.batch_size samples —
+        reusing the compiled eval reconstruction instead of compiling a
+        train-batch-sized variant — and logs train/dist_acc, train/dist_cov.
+        """
+        opt = self.opt
+        k = opt.eval.batch_size
+        if batch["rgb_input_map"].shape[0] < k:
+            return
+        sub = {key: batch[key][:k] for key in MODEL_KEYS if key in batch}
+        recon = self._recon_fn(k, training=True)
+        key = jax.random.fold_in(jax.random.PRNGKey(13), it)
+        out, level, pred_world = recon(self.variables(), sub, key)
+        gt_view = eval3d.transform_gt_to_view(
+            jnp.asarray(batch["dpc"]["points"][:k]),
+            jnp.asarray(batch["pose_gt"][:k]),
+        )
+        accs, comps, _, _, _ = self._score_fn(opt.eval.batch_size)(pred_world, gt_view)
+        self.log_scalar("train/dist_acc", float(np.mean(np.asarray(accs))), it)
+        self.log_scalar("train/dist_cov", float(np.mean(np.asarray(comps))), it)
 
     def _check_hier_overflow(self, out, training=True):
         """Capacity overflow in the coarse-to-fine decode: warn once during
