@@ -58,3 +58,27 @@ def test_fused_decode_matches_xla(setup, attn_mode):
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.9999, corr
     assert np.abs(a - b).mean() < 5e-3
+
+
+def test_fused_decode_batched_matches_per_sample(setup):
+    m, vars_, _, _ = setup
+    rng = np.random.default_rng(1)
+    B = 3
+    latent = jnp.asarray(rng.normal(size=(B, 17, 32)), jnp.float32)
+    points = jnp.asarray(rng.normal(size=(B, 200, 3)), jnp.float32)
+    caches = m.apply(vars_, latent, method=lambda mdl, l: mdl.encode(l))
+    packed = pack_decoder_params(vars_["params"], n_blocks=2, n_mlp_linears=5)
+    kw = dict(
+        latent_len=17, n_blocks=2, n_heads=4, skip_in=(2,), n_mlp_linears=5,
+        tile=128, interpret=True,
+    )
+    from zeroshape_tpu.ops.implicit_kernel import fused_decode_batched
+
+    batched = fused_decode_batched(points, caches, packed, **kw)
+    assert batched.shape == (B, 200)
+    for b in range(B):
+        per = [(k[b : b + 1], v[b : b + 1]) for (k, v) in caches]
+        one = fused_decode(points[b], per, packed, **kw)
+        np.testing.assert_allclose(
+            np.asarray(batched[b]), np.asarray(one), rtol=1e-5, atol=1e-6
+        )

@@ -93,6 +93,26 @@ def pack_decoder_params(impl_params: Dict[str, Any], n_blocks: int = 2, n_mlp_li
     return packed
 
 
+def fused_decode_batched(points, caches, packed, **kw):
+    """Batched :func:`fused_decode`: points [B, P, 3] against per-sample
+    caches (each block's (k, v) is [B, H, L, hd]) -> logits [B, P].
+
+    Implemented as ``jax.vmap`` over the single-sample kernel — Pallas lifts
+    the mapped axis into an extra grid dimension, so per-sample tiles still
+    stream through the decoder with weights/caches resident in VMEM. The
+    batch axis is NOT SPMD-partitionable (a pallas_call is opaque to the
+    GSPMD partitioner); callers must keep the batch on one device — the
+    engine gates this path to single-device eval meshes.
+    """
+    kvs = [(k, v) for (k, v) in caches]
+
+    def one(pts, kvs_b):
+        caches_b = [(k[None], v[None]) for (k, v) in kvs_b]
+        return fused_decode(pts, caches_b, packed, **kw)
+
+    return jax.vmap(one)(points, kvs)
+
+
 def _layernorm(x, scale, bias, eps=1e-6):
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)

@@ -144,9 +144,12 @@ class Runner(RunnerBase):
         # in VMEM (ops/implicit_kernel.py). Beats the XLA decode on the hier
         # path (BASELINE.md A/B); dense decode stays XLA, where it is faster.
         fused_mode = opt.eval.get("fused_decoder", True)
+        # a pallas_call is opaque to the GSPMD partitioner, so the fused path
+        # only runs when the whole eval batch lives on one device; multi-device
+        # eval meshes keep the XLA decode, which partitions over "data"
         use_fused = (
             use_hier
-            and batch_size == 1
+            and len(mesh.devices.flat) == 1
             and bool(fused_mode)
             and implicit_kernel.fused_supported(opt)
             and (
@@ -168,12 +171,19 @@ class Runner(RunnerBase):
                 )
                 latent_len = caches[0][0].shape[2]
 
+                interpret = fused_mode == "interpret"
+
                 def decode_fn(pts):
-                    occ = implicit_kernel.fused_decode(
-                        pts[0], caches, packed, latent_len=latent_len,
-                        interpret=fused_mode == "interpret",
+                    if batch_size == 1:
+                        occ = implicit_kernel.fused_decode(
+                            pts[0], caches, packed, latent_len=latent_len,
+                            interpret=interpret,
+                        )
+                        return occ[None]
+                    return implicit_kernel.fused_decode_batched(
+                        pts, caches, packed, latent_len=latent_len,
+                        interpret=interpret,
                     )
-                    return occ[None]
 
             else:
 
