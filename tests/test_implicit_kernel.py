@@ -28,7 +28,7 @@ def setup():
     return m, vars_, latent, points
 
 
-@pytest.mark.parametrize("attn_mode", ["perhead", "blockdiag"])
+@pytest.mark.parametrize("attn_mode", ["perhead", "blockdiag", "grouped"])
 def test_fused_decode_matches_xla(setup, attn_mode):
     m, vars_, latent, points = setup
 
@@ -82,3 +82,27 @@ def test_fused_decode_batched_matches_per_sample(setup):
         np.testing.assert_allclose(
             np.asarray(batched[b]), np.asarray(one), rtol=1e-5, atol=1e-6
         )
+
+
+def test_fused_decode_grouped_two_groups():
+    """Shipped-shape heads (8 x hd=32) split into two 4-head groups: the
+    grouped layout's multi-group path must match the XLA decode."""
+    m = Implicit(
+        num_patches=16, latent_dim=64, n_channels=256, n_blocks_attn=1,
+        n_layers_mlp=2, num_heads=8, skip_in=(), drop_path=0.0,
+    )
+    rng = np.random.default_rng(2)
+    latent = jnp.asarray(rng.normal(size=(1, 17, 64)), jnp.float32)
+    points = jnp.asarray(rng.normal(size=(1, 256, 3)), jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), latent, None, points)
+    caches = m.apply(vars_, latent, method=lambda mdl, l: mdl.encode(l))
+    occ_ref, _ = m.apply(vars_, latent, None, points)
+    packed = pack_decoder_params(vars_["params"], n_blocks=1, n_mlp_linears=3)
+    occ = fused_decode(
+        points[0], caches, packed, latent_len=17, n_blocks=1, n_heads=8,
+        skip_in=(), n_mlp_linears=3, tile=128, interpret=True,
+        attn_mode="grouped",
+    )
+    a, b = np.asarray(occ), np.asarray(occ_ref)[0]
+    np.testing.assert_allclose(a, b, rtol=8e-2, atol=2e-2)
+    assert np.corrcoef(a, b)[0, 1] > 0.9999

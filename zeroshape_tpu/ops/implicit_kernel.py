@@ -188,8 +188,14 @@ def _decoder_kernel(
     C = point_w_ref.shape[1]
     hd = C // n_heads
     scale = hd**-0.5
-    # perhead: kh_ref [B, H, L_pad, hd]; blockdiag: kh_ref [B, C, H*L_pad]
-    L_pad = kh_ref.shape[2] if attn_mode == "perhead" else kh_ref.shape[2] // n_heads
+    # perhead: kh_ref [B, H, L_pad, hd]; blockdiag: kh_ref [B, C, H*L_pad];
+    # grouped: kh_ref [B, n_groups, g*hd, g*L_pad]
+    if attn_mode == "perhead":
+        L_pad = kh_ref.shape[2]
+    elif attn_mode == "blockdiag":
+        L_pad = kh_ref.shape[2] // n_heads
+    else:
+        L_pad = kh_ref.shape[3] // (n_heads // kh_ref.shape[1])
 
     compute = jnp.bfloat16
 
@@ -254,7 +260,45 @@ def _decoder_kernel(
         out = _dot(w_all, vh_ref[blk].astype(compute))  # [T, C] fp32
         return out + jnp.concatenate(self_out, axis=-1)
 
-    attn_fn = attn_perhead if attn_mode == "perhead" else attn_blockdiag
+    def attn_grouped(q, k, v, blk):
+        # blockdiag in groups of g heads: contraction g*hd stays MXU-deep
+        # (128 for the shipped hd=32) while the zero-block waste drops from
+        # n_heads x to g x — half the attention FLOPs of full blockdiag
+        n_groups = kh_ref.shape[1]
+        g = n_heads // n_groups
+        qk = q * k  # [T, C]
+        outs = []
+        for G in range(n_groups):
+            qG = q[:, G * g * hd : (G + 1) * g * hd]  # [T, g*hd]
+            scores_all = (
+                _dot(qG.astype(compute), kh_ref[blk, G].astype(compute)) * scale
+            )  # [T, g*L_pad] fp32
+            w_slices = []
+            self_out = []
+            for j in range(g):
+                h = G * g + j
+                sl = scores_all[:, j * L_pad : (j + 1) * L_pad]
+                sl = jnp.where(lat_mask, sl, -jnp.inf)
+                s_self = (
+                    jnp.sum(qk[:, h * hd : (h + 1) * hd], axis=-1, keepdims=True)
+                    * scale
+                )
+                m = jnp.maximum(jnp.max(sl, axis=-1, keepdims=True), s_self)
+                e = jnp.exp(sl - m)
+                e_self = jnp.exp(s_self - m)
+                denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+                w_slices.append((e / denom).astype(compute))
+                self_out.append((e_self / denom) * v[:, h * hd : (h + 1) * hd])
+            w_all = jnp.concatenate(w_slices, axis=-1)  # [T, g*L_pad] bf16
+            out = _dot(w_all, vh_ref[blk, G].astype(compute))  # [T, g*hd] fp32
+            outs.append(out + jnp.concatenate(self_out, axis=-1))
+        return jnp.concatenate(outs, axis=-1)  # [T, C]
+
+    attn_fn = {
+        "perhead": attn_perhead,
+        "blockdiag": attn_blockdiag,
+        "grouped": attn_grouped,
+    }[attn_mode]
 
     for blk in range(n_blocks):
         n = _layernorm(p, ln1_ref[blk, 0], ln1_ref[blk, 1])
@@ -349,6 +393,24 @@ def fused_decode(
             kbd = kbd.at[:, rs, cs].set(jnp.swapaxes(kh[:, h], -1, -2))
             vbd = vbd.at[:, cs, rs].set(vh[:, h])
         kh, vh = kbd, vbd
+    elif attn_mode == "grouped":
+        # blockdiag in groups of g heads, g*hd = 128 (one MXU contraction):
+        # K_g [B, n_groups, g*hd, g*L_pad] with local-head-j block rows
+        # j*hd:(j+1)*hd, cols j*L_pad:(j+1)*L_pad = k_h^T (h = G*g + j);
+        # V_g [B, n_groups, g*L_pad, g*hd] transposed likewise. Halves the
+        # zero-block FLOP waste of full blockdiag at equal MXU depth.
+        g = max(1, 128 // hd)
+        while n_heads % g:
+            g //= 2
+        n_groups = n_heads // g
+        kg = jnp.zeros((n_blocks, n_groups, g * hd, g * L_pad), kh.dtype)
+        vg = jnp.zeros((n_blocks, n_groups, g * L_pad, g * hd), vh.dtype)
+        for h in range(n_heads):
+            G, j = divmod(h, g)
+            rs, cs = slice(j * hd, (j + 1) * hd), slice(j * L_pad, (j + 1) * L_pad)
+            kg = kg.at[:, G, rs, cs].set(jnp.swapaxes(kh[:, h], -1, -2))
+            vg = vg.at[:, G, cs, rs].set(vh[:, h])
+        kh, vh = kg, vg
 
     Pp = _round_up(P, tile)
     pts = jnp.pad(points.astype(jnp.float32), ((0, Pp - P), (0, 0)))
