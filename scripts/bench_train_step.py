@@ -48,6 +48,14 @@ def main():
             state, metrics = step(state, sharded, jax.random.PRNGKey(1))
             np.asarray(metrics["loss_all"])
             compile_s = time.perf_counter() - t0
+            # warmup window: the first ~10 post-compile steps on this backend
+            # run 100x slow (per-dispatch param paging through the tunnel);
+            # steady state only starts after it (scripts/diag_train_windows.py)
+            for i in range(10):
+                state, metrics = step(
+                    state, sharded, jax.random.fold_in(jax.random.PRNGKey(3), i)
+                )
+            np.asarray(metrics["loss_all"])
             t0 = time.perf_counter()
             for i in range(reps):
                 state, metrics = step(
