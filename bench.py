@@ -28,7 +28,7 @@ NUM_POINTS = 10000
 CAPACITY = 4096  # refined-cell budget; overflow reported on stderr
 
 
-def build(use_fused=None):
+def build(use_fused=None, attn_mode="blockdiag", tile=512):
     from zeroshape_tpu.metrics import eval3d
     from zeroshape_tpu.models.graph_shape import ShapeGraph
     from zeroshape_tpu.ops.marching_cubes import sample_surface_points_cells
@@ -77,9 +77,16 @@ def build(use_fused=None):
                 variables["params"]["impl_network"]
             )
 
+            vmem = (
+                100 * 1024 * 1024
+                if (attn_mode != "blockdiag" or tile > 512)
+                else None
+            )
+
             def decode_fn(pts):
                 occ = implicit_kernel.fused_decode(
-                    pts[0], caches, packed, latent_len=caches[0][0].shape[2]
+                    pts[0], caches, packed, latent_len=caches[0][0].shape[2],
+                    attn_mode=attn_mode, tile=tile, vmem_limit_bytes=vmem,
                 )
                 return 25.0 * occ[None]
 

@@ -18,12 +18,21 @@ import jax
 import bench
 
 
+VARIANTS = {
+    # name -> bench.build kwargs
+    "xla": dict(use_fused=False),
+    "fused": dict(use_fused=True),
+    "fused-grouped": dict(use_fused=True, attn_mode="grouped", tile=512),
+}
+
+
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else ["xla", "fused"]
     key = jax.random.PRNGKey(0)
     variants = {}
-    for name, fused in (("xla", False), ("fused", True)):
-        recon, variables, batch = bench.build(use_fused=fused)
+    for name in names:
+        recon, variables, batch = bench.build(**VARIANTS[name])
         t0 = time.perf_counter()
         world, *_ = recon(variables, batch, key)
         np.asarray(world)
@@ -45,7 +54,8 @@ def main():
             f"min {ts.min() * 1e3:.1f}  max {ts.max() * 1e3:.1f}",
             flush=True,
         )
-    print(f"fused/xla: {np.median(times['fused']) / np.median(times['xla']):.3f}")
+    if "fused" in times and "xla" in times:
+        print(f"fused/xla: {np.median(times['fused']) / np.median(times['xla']):.3f}")
 
 
 if __name__ == "__main__":

@@ -184,3 +184,50 @@ def test_shape_graph_with_rgb_encoder():
     assert out["latent_semantic"].shape == (2, 17, 64)
     assert out["pred_sample_occ"].shape == (2, 32)
     assert np.isfinite(np.asarray(out["pred_sample_occ"])).all()
+
+
+def test_attn_geo_stats_from_forward(shape_setup):
+    """Train forward -> the four attention scalars exist, finite, in [0, 1]
+    (producer for the reference's consumer at shape_engine.py:537-544)."""
+    opt, model, vars_, batch = shape_setup
+    out, _ = model.apply(
+        vars_, batch, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    stats = graph_shape.attn_geo_stats(opt, batch, out)
+    assert set(stats) == {"attn_geo_avg", "attn_geo_seen", "attn_geo_occl", "attn_geo_bg"}
+    for k, v in stats.items():
+        v = float(v)
+        assert np.isfinite(v) and 0.0 <= v <= 1.0, (k, v)
+    # eval forward (no supervision) carries no attention -> no stats
+    eval_batch = {k: v for k, v in batch.items() if not k.startswith("gt_sample")}
+    out_eval = model.apply(vars_, eval_batch, train=False, mutable=False)
+    assert graph_shape.attn_geo_stats(opt, eval_batch, out_eval) == {}
+
+
+def test_attn_geo_stats_classification():
+    """Hand-built geometry: a query on the visible surface counts as 'seen',
+    an occupied query behind it as 'occl', an unoccupied one as 'bg'."""
+    B, H, W, L = 1, 8, 8, 5
+    f = 8.0
+    intr = jnp.asarray([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]], jnp.float32)
+    batch = {
+        "depth_input_map": jnp.ones((B, H, W, 1), jnp.float32),
+        "mask_input_map": jnp.ones((B, H, W, 1), jnp.float32),
+        "intr": intr,
+        "gt_sample_sdf": jnp.asarray([[-0.001, -0.5, 0.5]], jnp.float32),
+    }
+    pts = jnp.asarray([[[0, 0, 1.0], [0, 0, 1.5], [0, 0, 0.5]]], jnp.float32)
+    attn = jnp.zeros((B, 3, L), jnp.float32)
+    attn = attn.at[0, :, 0].set(jnp.asarray([0.8, 0.6, 0.2]))
+    out = {
+        "attn": attn,
+        "gt_points_cam": pts,
+        "gt_norm_mean": jnp.zeros((B, 3), jnp.float32),
+        "gt_norm_scale": jnp.ones((B,), jnp.float32),
+    }
+    stats = graph_shape.attn_geo_stats(None, batch, out)
+    assert np.isclose(float(stats["attn_geo_avg"]), (0.8 + 0.6 + 0.2) / 3)
+    assert np.isclose(float(stats["attn_geo_seen"]), 0.8)
+    assert np.isclose(float(stats["attn_geo_occl"]), 0.6)
+    assert np.isclose(float(stats["attn_geo_bg"]), 0.2)

@@ -235,6 +235,8 @@ class ShapeGraph(nn.Module):
             "seen_points_gt": seen_gt_norm,
             "gt_points_cam": gt_points_cam,
             "gt_surf_points": gt_surf_points,
+            "gt_norm_mean": mean_gt,
+            "gt_norm_scale": scale_gt,
         }
         return jax.lax.stop_gradient(out)
 
@@ -284,3 +286,63 @@ def compute_loss(opt, batch, out, training: bool = False):
             impt_weight=sl.impt_weight,
         )
     return loss
+
+
+def attn_geo_stats(opt, batch, out, depth_eps=0.05):
+    """The four attention-statistics scalars the reference engine logs.
+
+    The reference only has the *consumer* — ``model/shape_engine.py:537-544``
+    guards on ``attn_geo_{avg,seen,occl,bg}`` being present in ``var``, but no
+    code in the reference tree ever produces them (the forward discards the
+    attention map, ``graph_shape.py:185``). This framework defines and
+    produces them: each scalar is the mean attention mass that query points
+    place on the geometry latent tokens (``attn_vis`` sums; the complement is
+    the self-attention term), split by query-point type:
+
+      avg  — all SDF query points;
+      seen — queries whose reprojection through the GT intrinsics lands on a
+             foreground pixel within ``depth_eps`` of the input depth (i.e.
+             near the *visible* surface);
+      occl — occupied queries (sdf < 0) that are not visible;
+      bg   — unoccupied queries (sdf > 0).
+
+    Returns {} when the forward carried no supervision (no attention map).
+    """
+    if "attn" not in out:
+        return {}
+    geo_mass = jnp.sum(out["attn"].astype(jnp.float32), axis=-1)  # [B, N]
+    sdf = batch["gt_sample_sdf"]
+    occupied = sdf < 0
+
+    # un-normalize the queries back to the raw camera frame and reproject
+    pts = (
+        out["gt_points_cam"] * out["gt_norm_scale"][:, None, None]
+        + out["gt_norm_mean"][:, None, :]
+    )  # [B, N, 3]
+    uv = camera.cam2img(pts, batch["intr"].astype(jnp.float32))  # [B, N, 3]
+    z = pts[..., 2]
+    u = uv[..., 0] / jnp.maximum(uv[..., 2], 1e-8)
+    v = uv[..., 1] / jnp.maximum(uv[..., 2], 1e-8)
+    H, W = batch["depth_input_map"].shape[1:3]
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
+    in_bounds = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 0)
+
+    def gather_map(m):  # m [B, H, W, 1] -> [B, N]
+        flat = m[..., 0].reshape(m.shape[0], -1)
+        return jnp.take_along_axis(flat, vi * W + ui, axis=1)
+
+    depth_at = gather_map(batch["depth_input_map"].astype(jnp.float32))
+    mask_at = gather_map(batch["mask_input_map"].astype(jnp.float32))
+    seen = in_bounds & (mask_at > 0.5) & (jnp.abs(z - depth_at) < depth_eps)
+
+    def masked_mean(m):
+        cnt = jnp.sum(m)
+        return jnp.where(cnt > 0, jnp.sum(geo_mass * m) / jnp.maximum(cnt, 1), 0.0)
+
+    return {
+        "attn_geo_avg": jnp.mean(geo_mass),
+        "attn_geo_seen": masked_mean(seen.astype(jnp.float32)),
+        "attn_geo_occl": masked_mean((occupied & ~seen).astype(jnp.float32)),
+        "attn_geo_bg": masked_mean((~occupied).astype(jnp.float32)),
+    }

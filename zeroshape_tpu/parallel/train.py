@@ -146,10 +146,15 @@ def create_train_state(model, opt, batch, rng, dtype=None, steps_per_epoch=None)
     )
 
 
-def make_train_step(model, opt, loss_fn, mesh, axis_name: str = "data"):
+def make_train_step(
+    model, opt, loss_fn, mesh, axis_name: str = "data", metrics_fn=None
+):
     """Build the jitted, mesh-sharded train step.
 
     loss_fn(opt, batch, out, training) -> dict of unweighted loss terms.
+    metrics_fn(opt, batch, out) -> dict of extra scalar diagnostics computed
+    from the forward outputs (e.g. graph_shape.attn_geo_stats); merged into
+    the returned metrics.
     Returns train_step(state, batch, rng) -> (state, metrics dict).
     """
     loss_weights = dict(opt.loss_weight)
@@ -168,14 +173,16 @@ def make_train_step(model, opt, loss_fn, mesh, axis_name: str = "data"):
             )
             loss_dict = loss_fn(opt, batch, out, training=True)
             total = summarize_loss(loss_dict, loss_weights)
-            return total, (loss_dict, mutated.get("batch_stats", state.batch_stats))
+            extra = metrics_fn(opt, batch, out) if metrics_fn else {}
+            return total, (loss_dict, extra, mutated.get("batch_stats", state.batch_stats))
 
-        (total, (loss_dict, new_bs)), grads = jax.value_and_grad(
+        (total, (loss_dict, extra, new_bs)), grads = jax.value_and_grad(
             compute, has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         metrics = {"loss_all": total}
         metrics.update({f"loss_{k}": jnp.mean(v) for k, v in loss_dict.items()})
+        metrics.update({k: jax.lax.stop_gradient(v) for k, v in extra.items()})
         return new_state, metrics
 
     return jax.jit(

@@ -91,7 +91,8 @@ class Runner(RunnerBase):
             steps_per_epoch=getattr(self, "num_batches", None),
         )
         self.train_step = ptrain.make_train_step(
-            self.model, opt, graph_shape.compute_loss, self.mesh
+            self.model, opt, graph_shape.compute_loss, self.mesh,
+            metrics_fn=graph_shape.attn_geo_stats,
         )
         self.stage_pretrained()
 
@@ -172,17 +173,30 @@ class Runner(RunnerBase):
                 latent_len = caches[0][0].shape[2]
 
                 interpret = fused_mode == "interpret"
+                # attention layout + point-tile size (chip A/B table in
+                # BASELINE.md; scripts/bench_attn_modes.py). Non-default
+                # layouts need more than the 16 MiB default scoped-VMEM
+                # budget — grant what the layout uses (v5e has 128 MiB).
+                attn_mode = opt.eval.get("fused_attn_mode", "blockdiag")
+                tile = int(opt.eval.get("fused_tile", 512) or 512)
+                vmem = (
+                    100 * 1024 * 1024
+                    if (attn_mode != "blockdiag" or tile > 512)
+                    else None
+                )
 
                 def decode_fn(pts):
                     if batch_size == 1:
                         occ = implicit_kernel.fused_decode(
                             pts[0], caches, packed, latent_len=latent_len,
-                            interpret=interpret,
+                            interpret=interpret, attn_mode=attn_mode,
+                            tile=tile, vmem_limit_bytes=vmem,
                         )
                         return occ[None]
                     return implicit_kernel.fused_decode_batched(
                         pts, caches, packed, latent_len=latent_len,
-                        interpret=interpret,
+                        interpret=interpret, attn_mode=attn_mode,
+                        tile=tile, vmem_limit_bytes=vmem,
                     )
 
             else:
