@@ -4,7 +4,7 @@
 # Probes the backend with a tiny jit between attempts; sleeps 120 s when the
 # tunnel is down. Writes the command's output to <logfile>.
 LOG="$1"; shift
-for i in $(seq 1 60); do
+for i in $(seq 1 500); do
   if timeout 240 python - <<'PY' >/dev/null 2>&1
 import jax, numpy as np, jax.numpy as jnp
 np.asarray(jax.jit(lambda a: a + 1)(jnp.ones(8)))
