@@ -42,6 +42,48 @@ def test_dpt_depth_shapes_and_range():
     assert d.min() >= 0.0 and d.max() <= 1.0
 
 
+def test_dpt_head_init_scale_keeps_head_alive():
+    """From-scratch init: with the default kernel init the 1-channel head can
+    land its whole pre-ReLU map outside [0, 1] and die (zero gradient through
+    ReLU∘clamp — the observed frozen MiDaS loss ≈ 1.01). head_init_scale keeps
+    the init output near the +0.05 bias so gradients flow.
+
+    Wiring check: scale → 0 makes the output exactly the bias. Liveness check:
+    scale 1e-3 (what options/shape_overfit.yaml ships — the un-normalized DPT
+    fusion path emits large-magnitude features, so 1e-2 is already mostly
+    dead) gives a spatially varying, almost fully ReLU-alive init output and
+    a nonzero depth-loss gradient on the head kernel.
+    """
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+
+    m0 = DPTDepthModel(head_init_scale=0.0)
+    v0 = m0.init(jax.random.PRNGKey(0), x)
+    d0 = np.asarray(m0.apply(v0, x)[0])
+    assert np.allclose(d0, 0.05), "scale=0 must reduce the head to its bias"
+
+    m = DPTDepthModel(head_init_scale=0.001)
+    v = m.init(jax.random.PRNGKey(0), x)
+    d = np.asarray(m.apply(v, x)[0])
+    assert d.std() > 0.0
+    assert 0.0 < d.mean() < 0.2
+    assert (d > 0.0).mean() > 0.9, "the init map must be ReLU-alive"
+
+    from zeroshape_tpu import losses
+
+    gt = jnp.asarray(
+        np.random.default_rng(2).uniform(1.0, 2.0, (1, 1, 64, 64)), jnp.float32
+    )
+    mask = jnp.ones((1, 1, 64, 64), jnp.float32)
+
+    def loss_fn(params):
+        depth, _ = m.apply({"params": params, **{k: v[k] for k in v if k != "params"}}, x)
+        return losses.depth_loss(jnp.transpose(depth, (0, 3, 1, 2)), gt, mask)
+
+    grads = jax.grad(loss_fn)(v["params"])
+    gk = np.asarray(grads["head_conv3"]["kernel"])
+    assert np.abs(gk).max() > 0.0, "depth loss must reach the head kernel"
+
+
 def test_coord_enc_res_token_shape():
     m = CoordEncRes(latent_dim=256, win_size=16)
     coord = jnp.zeros((2, 64, 64, 3))

@@ -195,9 +195,21 @@ class DPTDepthModel(nn.Module):
 
     Reference model/depth/dpt_depth.py:96-123. Returns (depth [B, H, W, 1],
     intr_feat [B, H/32, W/32, 768]).
+
+    ``head_init_scale`` scales the final 1x1 conv's kernel init (default 1.0 =
+    the reference's untouched default init). The reference relies on
+    pretrained weights, so its random head init is never exercised; trained
+    from scratch, the single-channel head projects the all-positive 32-ch
+    features through ONE random direction, landing the whole pre-ReLU map
+    uniformly below 0 (or above 1) — the ReLU/clamp then has zero gradient
+    everywhere and the depth branch is dead from step 0 (observed: MiDaS loss
+    frozen at ~1.01 = SSI of any constant map). From-scratch recipes set this
+    small (e.g. 0.01) so the init output sits near the +0.05 bias, inside the
+    live region of ReLU∘clamp.
     """
 
     dtype: Any = jnp.float32
+    head_init_scale: float = 1.0
 
     @nn.compact
     def __call__(self, image, deterministic: bool = True):
@@ -209,6 +221,9 @@ class DPTDepthModel(nn.Module):
         h = nn.relu(h)
         h = nn.Conv(
             1, (1, 1), use_bias=True,
+            kernel_init=nn.initializers.variance_scaling(
+                self.head_init_scale**2, "fan_in", "truncated_normal"
+            ),
             bias_init=nn.initializers.constant(0.05),
             dtype=self.dtype, name="head_conv3",
         )(h)

@@ -21,6 +21,7 @@ class DepthGraph(nn.Module):
     H: int = 224
     W: int = 224
     predict_intr: bool = True
+    depth_head_init_scale: float = 1.0
     dtype: Any = jnp.float32
 
     @classmethod
@@ -29,11 +30,15 @@ class DepthGraph(nn.Module):
             H=opt.H,
             W=opt.W,
             predict_intr=opt.loss_weight.get("intr") is not None,
+            depth_head_init_scale=opt.arch.depth.get("head_init_scale", 1.0) or 1.0,
             dtype=dtype,
         )
 
     def setup(self):
-        self.dpt_depth = DPTDepthModel(dtype=self.dtype, name="dpt_depth")
+        self.dpt_depth = DPTDepthModel(
+            head_init_scale=self.depth_head_init_scale,
+            dtype=self.dtype, name="dpt_depth",
+        )
         if self.predict_intr:
             self.intr_head = IntrHead(dtype=self.dtype, name="intr_head")
 

@@ -91,6 +91,7 @@ class ShapeGraph(nn.Module):
     impl_posenc_3D: int = 0
     impl_posenc_perlayer: bool = False
     impl_skip_in: tuple = (2, 4, 6)
+    depth_head_init_scale: float = 1.0
     dtype: Any = jnp.float32
 
     @classmethod
@@ -114,11 +115,15 @@ class ShapeGraph(nn.Module):
             impl_posenc_3D=arch.impl.posenc_3D,
             impl_posenc_perlayer=arch.impl.posenc_perlayer,
             impl_skip_in=tuple(arch.impl.skip_in),
+            depth_head_init_scale=arch.depth.get("head_init_scale", 1.0) or 1.0,
             dtype=dtype,
         )
 
     def setup(self):
-        self.dpt_depth = DPTDepthModel(dtype=self.dtype, name="dpt_depth")
+        self.dpt_depth = DPTDepthModel(
+            head_init_scale=self.depth_head_init_scale,
+            dtype=self.dtype, name="dpt_depth",
+        )
         self.intr_head = IntrHead(dtype=self.dtype, name="intr_head")
         if self.depth_encoder == "resnet":
             self.coord_encoder = CoordEncRes(
