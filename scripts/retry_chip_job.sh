@@ -18,5 +18,5 @@ PY
   echo "[retry_chip_job] probe $i failed; tunnel down, sleeping 120 s" >> "$LOG"
   sleep 120
 done
-echo "[retry_chip_job] gave up after 60 probes" >> "$LOG"
+echo "[retry_chip_job] gave up after 500 probes" >> "$LOG"
 exit 1
