@@ -231,3 +231,19 @@ def test_attn_geo_stats_classification():
     assert np.isclose(float(stats["attn_geo_seen"]), 0.8)
     assert np.isclose(float(stats["attn_geo_occl"]), 0.6)
     assert np.isclose(float(stats["attn_geo_bg"]), 0.2)
+
+
+def test_head_init_scale_reaches_both_graphs():
+    """arch.depth.head_init_scale must flow from the yaml tree into the
+    DPTDepthModel of both graphs (the from-scratch liveness fix — see
+    models/dpt.py and docs/TRAINING.md). Construction-only, no init."""
+    opt = tiny_opt().unfrozen_copy()
+    opt.arch.depth.head_init_scale = 0.001
+    opt.loss_weight = Config({"shape": 1, "depth": 1, "intr": 10})
+    opt = opt.freeze()
+    g = ShapeGraph.from_opt(opt)
+    assert g.depth_head_init_scale == 0.001
+    d = DepthGraph.from_opt(opt)
+    assert d.depth_head_init_scale == 0.001
+    # default stays the reference's untouched init
+    assert ShapeGraph.from_opt(tiny_opt()).depth_head_init_scale == 1.0
