@@ -81,10 +81,12 @@ def build(use_fused=None, attn_mode="blockdiag", tile=512):
     from zeroshape_tpu.models.graph_shape import ShapeGraph
     from zeroshape_tpu.ops.marching_cubes import sample_surface_points_cells
 
+    from zeroshape_tpu.models import resolve_compute_dtype
+
     opt = _full_opt()
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    model = ShapeGraph.from_opt(opt, dtype=dtype)
+    # same dtype policy as the production CLIs (arch.dtype: auto)
+    model = ShapeGraph.from_opt(opt, dtype=resolve_compute_dtype(opt))
     batch = _batch(B=1, H=opt.H, n_pts=16)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -208,14 +210,22 @@ def main():
             file=sys.stderr,
         )
 
+    reps = int(os.environ.get("BENCH_REPS", "9"))
     times = []
-    for i in range(5):
+    for i in range(reps):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         world, depth, intr, n_active = reconstruct(variables, batch, k)
         _ = np.asarray(world)
         times.append(time.perf_counter() - t0)
     latency = float(np.median(times))
+    q1, q3 = np.percentile(times, [25, 75])
+    print(
+        f"bench: median {latency*1e3:.1f} ms over {reps} reps, "
+        f"IQR [{q1*1e3:.1f}, {q3*1e3:.1f}] ms, "
+        f"min {min(times)*1e3:.1f} / max {max(times)*1e3:.1f}",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

@@ -85,7 +85,9 @@ def main():
     else:
         from zeroshape_tpu.models.graph_depth import DepthGraph as Graph
 
-    model = Graph.from_opt(opt)
+    from zeroshape_tpu.models import resolve_compute_dtype
+
+    model = Graph.from_opt(opt, dtype=resolve_compute_dtype(opt))
     data_list, name_list = prepare_data(opt)
     print(f"==> sample data loaded from folder: {opt.datadir}")
 
@@ -146,34 +148,43 @@ def main():
     def forward(batch):
         return model.apply(variables, batch, train=False, mutable=False)
 
-    @jax.jit
-    def decode_grid(latent_depth, latent_semantic):
-        def run(mdl, latent, sem, pts):
-            caches = mdl.impl_network.encode(latent, sem)
-            occ, attn = mdl.impl_network.decode(caches, pts)
-            return occ, attn
+    # Shape task runs the engine's jitted reconstruction: hier + fused-Pallas
+    # decode where supported (the same fast path evaluate.py's in-training
+    # validation uses), with the dense decode-with-attention pass running
+    # ONLY when the attention GIF is dumped (--eval.dump_attn, on by default
+    # for reference parity — the reference demo always dumps attention,
+    # demo.py:198-202). `--eval.dump_attn!` gives the <1 s/image fast path.
+    dump_attn = bool(opt.eval.get("dump_attn", True))
+    if opt.task == "shape":
+        from zeroshape_tpu.parallel.mesh import make_mesh
+        from zeroshape_tpu.runtime.shape_engine import Runner
 
-        grid_pts = eval3d.get_dense_3D_grid(vox, (lo, hi))
+        runner = object.__new__(Runner)
+        runner.opt = opt
+        runner.model = model
+        runner._recon_cache = {}
+        runner._recon_attn_cache = {}
+        recon = runner._recon_fn(1, mesh=make_mesh(1), training=True)
+        recon_attn = runner._recon_attn_fn(1) if dump_attn else None
 
-        def decode_fn(pts):
-            return model.apply(variables, latent_depth, latent_semantic, pts, method=run)
+    import time
 
-        occ, attn = eval3d.occupancy_grid_with_attn(
-            decode_fn, grid_pts, batch_size=1, vox_res=vox, tile_points=S * S
-        )
-        return occ.reshape(1, S, S, S), attn
-
+    per_image_s = []
     for i, var in enumerate(data_list):
         batch = {
             k: jnp.asarray(v)
             for k, v in var.items()
             if k in ("rgb_input_map", "mask_input_map", "intr")
         }
-        out = forward(batch)
+        t0 = time.perf_counter()
         idx = var["idx"]
         if opt.task == "shape":
-            level, attn = decode_grid(out["latent_depth"], out["latent_semantic"])
-            verts, faces = marching_cubes_mesh(np.asarray(level[0]))
+            out, level, _ = recon(variables, batch, jax.random.PRNGKey(i))
+            level_np = np.asarray(level)  # host sync closes the timing window
+            per_image_s.append(time.perf_counter() - t0)
+            if dump_attn:
+                _, _, _, attn = recon_attn(variables, batch, jax.random.PRNGKey(i))
+            verts, faces = marching_cubes_mesh(level_np[0])
             verts = verts / S * (hi - lo) + lo
             vis.dump_images(
                 output_path, [name_list[i]], "image_input", var["rgb_input_map"], folder="preds"
@@ -181,11 +192,14 @@ def main():
             vis.dump_images(
                 output_path, [name_list[i]], "mask_input", var["mask_input_map"], folder="preds"
             )
-            feat_res = opt.H // opt.arch.win_size
-            frames = eval3d.attention_frames(
-                np.asarray(attn[0]), var["rgb_input_map"][0], vox, feat_res
-            )
-            vis.dump_attentions(output_path, [name_list[i]], "attn", [frames], folder="preds")
+            if dump_attn:
+                feat_res = opt.H // opt.arch.win_size
+                frames = eval3d.attention_frames(
+                    np.asarray(attn[0]), var["rgb_input_map"][0], vox, feat_res
+                )
+                vis.dump_attentions(
+                    output_path, [name_list[i]], "attn", [frames], folder="preds"
+                )
             vis.dump_meshes(
                 output_path, [name_list[i]], "mesh", [(verts, faces)], folder="preds"
             )
@@ -193,7 +207,9 @@ def main():
                 output_path, [name_list[i]], "mesh_viz", [(verts, faces)], folder="preds"
             )
         else:
+            out = forward(batch)
             depth = np.asarray(out["depth_pred"])[0, ..., 0]  # [H, W]
+            per_image_s.append(time.perf_counter() - t0)
             seen_fixed = np.asarray(
                 camera.unproj_depth(jnp.asarray(depth)[None], jnp.asarray(var["intr"]))
             ).reshape(opt.H, opt.W, 3)
@@ -221,8 +237,16 @@ def main():
                 output_path, [name_list[i]], "seen_surface_pred", "image_input",
                 [seen_pred], folder="preds",
             )
-        print(f"[{i + 1}/{len(data_list)}] {name_list[i]} done")
+        print(
+            f"[{i + 1}/{len(data_list)}] {name_list[i]} done "
+            f"({per_image_s[-1]:.3f} s recon)"
+        )
 
+    if len(per_image_s) > 1:
+        # first image includes compile; steady state is the headline number
+        steady = float(np.median(per_image_s[1:]))
+        print(f"==> reconstruction: {steady:.3f} s/image steady-state "
+              f"(first incl. compile: {per_image_s[0]:.1f} s)")
     print(f"==> results saved at folder: {opt.datadir}/preds")
 
 

@@ -81,6 +81,27 @@ def test_demo_shape_task(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_demo_shape_fast_path_skips_attention(tmp_path, monkeypatch):
+    """--eval.dump_attn! must skip the dense decode-with-attention pass and
+    produce no attention GIF while keeping the mesh/image dumps."""
+    datadir = make_examples(tmp_path)
+    yaml_path = tiny_shape_yaml(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["demo.py", f"--yaml={yaml_path}", "--task=shape", f"--datadir={datadir}",
+         "--eval.dump_attn!"],
+    )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import demo
+
+    demo.main()
+    preds = os.path.join(datadir, "preds")
+    files = os.listdir(preds)
+    assert "obj_image_input.png" in files
+    assert "obj_attn.gif" not in files
+
+
+@pytest.mark.slow
 def test_demo_depth_task(tmp_path, monkeypatch):
     datadir = make_examples(tmp_path)
     yaml_path = tiny_shape_yaml(tmp_path)

@@ -51,7 +51,6 @@ def depth_yaml(tmp_path, data_root):
             "weight_decay": 0.05,
             "fix_dpt": False,
             "clip_norm": 1.0,
-            "amp": False,
             "accum": 2,
             "sched": True,
         },

@@ -123,7 +123,6 @@ def tiny_yaml(tmp_path, data_root):
             "weight_decay": 0.05,
             "fix_dpt": False,
             "clip_norm": None,
-            "amp": False,
             "accum": 1,
             "sched": False,
         },

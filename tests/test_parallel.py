@@ -97,7 +97,6 @@ def opt_with_optim(opt):
         "weight_decay": 0.05,
         "fix_dpt": False,
         "clip_norm": None,
-        "amp": False,
         "accum": 1,
         "sched": False,
     }

@@ -100,9 +100,10 @@ def fused_decode_batched(points, caches, packed, **kw):
     Implemented as ``jax.vmap`` over the single-sample kernel — Pallas lifts
     the mapped axis into an extra grid dimension, so per-sample tiles still
     stream through the decoder with weights/caches resident in VMEM. The
-    batch axis is NOT SPMD-partitionable (a pallas_call is opaque to the
-    GSPMD partitioner); callers must keep the batch on one device — the
-    engine gates this path to single-device eval meshes.
+    batch axis is NOT SPMD-partitionable by GSPMD (a pallas_call is opaque
+    to the partitioner); on multi-device eval meshes the engine wraps this
+    call in ``jax.shard_map`` over the data axis so each device decodes its
+    own batch shard (runtime/shape_engine.py:_recon_fn).
     """
     kvs = [(k, v) for (k, v) in caches]
 

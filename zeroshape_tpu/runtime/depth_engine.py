@@ -33,8 +33,11 @@ def model_batch(batch):
 class Runner(RunnerBase):
     graph_name = "depth"
 
-    def build_networks(self, dtype=jnp.float32):
-        log_print("building networks...")
+    def build_networks(self, dtype=None):
+        from zeroshape_tpu.models import resolve_compute_dtype
+
+        dtype = dtype or resolve_compute_dtype(self.opt)
+        log_print(f"building networks (compute dtype: {jnp.dtype(dtype).name})...")
         self.model = DepthGraph.from_opt(self.opt, dtype=dtype)
         self._eval_fn = None
         self._viz_fwd = None
@@ -98,6 +101,7 @@ class Runner(RunnerBase):
         opt = self.opt
         self.train_loader.set_epoch(self.ep)
         log_print(f"training epoch {self.ep + 1}")
+        self._reset_step_clock()  # don't charge epoch setup/eval to s_it
         for batch in self.train_loader:
             if self.iter_skip > 0:
                 self.iter_skip -= 1
@@ -141,6 +145,12 @@ class Runner(RunnerBase):
                 opt.freq.save_vis * (it // 10000 * 10 + 1)
             ) == 0:
                 self.vis_train_iter()
+        if (
+            it % opt.freq.print == 0
+            or it % opt.freq.scalar == 0
+            or it % opt.freq.ckpt_latest == 0
+        ):
+            self._reset_step_clock()
         self.it += 1
 
     def _viz_forward(self, batch):

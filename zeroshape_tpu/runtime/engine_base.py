@@ -103,13 +103,27 @@ class RunnerBase:
         import jax
         import jax.numpy as jnp
 
+        n = len(self._loss_buf)
         vals = np.asarray(jax.device_get(jnp.stack(self._loss_buf)))
         self._loss_buf.clear()
         assert np.isfinite(vals).all(), (
-            f"loss is not finite within {len(vals)} iters of iter {self.it}"
+            f"loss is not finite within {n} iters of iter {self.it}"
         )
+        # wall time per step across the sync window: the honest steady-state
+        # step time through the real loop (per-step host syncing would
+        # serialize dispatch on tunneled backends — see the buffer note above)
+        now = time.perf_counter()
+        t0 = getattr(self, "_flush_t0", None)
+        if t0 is not None and n:
+            self.train_metric_logger.update(s_it=(now - t0) / n)
+        self._flush_t0 = now
         for v in vals:
             self.train_metric_logger.update(lr=self.opt.optim.lr, loss=float(v))
+
+    def _reset_step_clock(self):
+        """Exclude non-step work (ckpt writes, scalar logging, viz dumps,
+        eval) from the next s_it window."""
+        self._flush_t0 = time.perf_counter()
 
     # -- checkpoints ----------------------------------------------------------
     def stage_pretrained(self):

@@ -54,8 +54,11 @@ class Runner(RunnerBase):
     graph_name = "shape"
 
     # -- construction ---------------------------------------------------------
-    def build_networks(self, dtype=jnp.float32):
-        log_print("building networks...")
+    def build_networks(self, dtype=None):
+        from zeroshape_tpu.models import resolve_compute_dtype
+
+        dtype = dtype or resolve_compute_dtype(self.opt)
+        log_print(f"building networks (compute dtype: {jnp.dtype(dtype).name})...")
         self.model = ShapeGraph.from_opt(self.opt, dtype=dtype)
         self._recon_cache = {}
         self._recon_attn_cache = {}
@@ -90,7 +93,14 @@ class Runner(RunnerBase):
             jax.random.PRNGKey(opt.get("seed", 0) or 0),
             steps_per_epoch=getattr(self, "num_batches", None),
         )
+        # two compiled step variants: the hot-loop step computes no attention
+        # statistics; the scalar-cadence step adds attn_geo_stats (reference
+        # logs scalars only at cadence, shape_engine.py:526-544 — computing
+        # the reprojection diagnostics every iteration was pure waste)
         self.train_step = ptrain.make_train_step(
+            self.model, opt, graph_shape.compute_loss, self.mesh
+        )
+        self.train_step_metrics = ptrain.make_train_step(
             self.model, opt, graph_shape.compute_loss, self.mesh,
             metrics_fn=graph_shape.attn_geo_stats,
         )
@@ -145,12 +155,15 @@ class Runner(RunnerBase):
         # in VMEM (ops/implicit_kernel.py). Beats the XLA decode on the hier
         # path (BASELINE.md A/B); dense decode stays XLA, where it is faster.
         fused_mode = opt.eval.get("fused_decoder", True)
-        # a pallas_call is opaque to the GSPMD partitioner, so the fused path
-        # only runs when the whole eval batch lives on one device; multi-device
-        # eval meshes keep the XLA decode, which partitions over "data"
+        # a pallas_call is opaque to the GSPMD partitioner, so on multi-device
+        # eval meshes the kernel is wrapped in jax.shard_map over the data
+        # axis: each device runs the fused decoder on its own batch shard
+        # (reference evaluates data-parallel across ranks,
+        # model/shape_engine.py:413-429)
+        n_dev = len(mesh.devices.flat)
         use_fused = (
             use_hier
-            and len(mesh.devices.flat) == 1
+            and batch_size % n_dev == 0
             and bool(fused_mode)
             and implicit_kernel.fused_supported(opt)
             and (
@@ -185,18 +198,34 @@ class Runner(RunnerBase):
                     else None
                 )
 
+                kw = dict(
+                    latent_len=latent_len, interpret=interpret,
+                    attn_mode=attn_mode, tile=tile, vmem_limit_bytes=vmem,
+                )
+
                 def decode_fn(pts):
+                    if n_dev > 1:
+                        # per-device shards run the kernel locally; no
+                        # collectives are needed (points are independent)
+                        from jax.sharding import PartitionSpec as PS
+
+                        def local(pts_l, kvs_l, packed_l):
+                            return implicit_kernel.fused_decode_batched(
+                                pts_l, kvs_l, packed_l, **kw
+                            )
+
+                        return jax.shard_map(
+                            local, mesh=mesh,
+                            in_specs=(PS("data"), PS("data"), PS()),
+                            out_specs=PS("data"),
+                        )(pts, [tuple(c) for c in caches], packed)
                     if batch_size == 1:
                         occ = implicit_kernel.fused_decode(
-                            pts[0], caches, packed, latent_len=latent_len,
-                            interpret=interpret, attn_mode=attn_mode,
-                            tile=tile, vmem_limit_bytes=vmem,
+                            pts[0], caches, packed, **kw
                         )
                         return occ[None]
                     return implicit_kernel.fused_decode_batched(
-                        pts, caches, packed, latent_len=latent_len,
-                        interpret=interpret, attn_mode=attn_mode,
-                        tile=tile, vmem_limit_bytes=vmem,
+                        pts, caches, packed, **kw
                     )
 
             else:
@@ -361,6 +390,7 @@ class Runner(RunnerBase):
         if profiling:
             os.makedirs("debug/profiler_log", exist_ok=True)
             jax.profiler.start_trace("debug/profiler_log")
+        self._reset_step_clock()  # don't charge epoch setup/eval to s_it
         for batch in self.train_loader:
             if self.iter_skip > 0:
                 self.iter_skip -= 1
@@ -383,7 +413,9 @@ class Runner(RunnerBase):
         opt = self.opt
         sharded = shard_batch(model_batch(batch), self.mesh)
         rng = jax.random.fold_in(jax.random.PRNGKey(opt.get("seed", 0) or 0), self.it)
-        self.state, metrics = self.train_step(self.state, sharded, rng)
+        scalar_it = self.it % opt.freq.scalar == 0 and not opt.get("debug")
+        step_fn = self.train_step_metrics if scalar_it else self.train_step
+        self.state, metrics = step_fn(self.state, sharded, rng)
         self._note_loss(metrics)
         it = self.it
         if (
@@ -413,6 +445,12 @@ class Runner(RunnerBase):
                 opt.freq.save_vis * (it // 10000 * 10 + 1)
             ) == 0:
                 self.vis_train_iter()
+        if (
+            it % opt.freq.print == 0
+            or it % opt.freq.scalar == 0
+            or it % opt.freq.ckpt_latest == 0
+        ):
+            self._reset_step_clock()
         self.it += 1
 
     # -- evaluation ----------------------------------------------------------------
@@ -439,6 +477,9 @@ class Runner(RunnerBase):
             )
 
         flip = opt.data.dataset_test == "pix3d"
+        import time as _time
+
+        t_prev = _time.perf_counter()
         for it, batch in enumerate(self.test_loader):
             B0 = batch["rgb_input_map"].shape[0]
             batch_p = _pad_batch(batch, eval_bs)
@@ -464,10 +505,13 @@ class Runner(RunnerBase):
             f_scores.append(fs[:B0])
             cat_indices.append(np.asarray(batch["category_label"])[:B0])
             indices.append(np.asarray(batch["idx"])[:B0])
+            t_now = _time.perf_counter()
             metric_logger.update(
                 ACC=accs[:B0].mean(), COMP=comps[:B0].mean(),
                 CD=(accs[:B0].mean() + comps[:B0].mean()) / 2,
+                s_smp=(t_now - t_prev) / B0,
             )
+            t_prev = t_now
             if it % opt.freq.print_eval == 0:
                 log_print(
                     f"Eval Iter {it}/{len(self.test_loader)} @ EP {ep}: {metric_logger}"
