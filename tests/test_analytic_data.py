@@ -52,8 +52,11 @@ def test_generated_tree_loads_through_synthetic_dataset(tmp_path):
     from zeroshape_tpu.config import Config
 
     H = 48
+    # n_objects=5 reaches the "box_sphere" kind, whose object name contains
+    # an underscore — a regression guard for the list-parsing bug that broke
+    # Run B (get_list must strip the known category prefix, not rsplit)
     analytic.generate_dataset(
-        str(tmp_path), n_objects=2, n_views=3, H=H, n_pc_points=256,
+        str(tmp_path), n_objects=5, n_views=3, H=H, n_pc_points=256,
         n_sdf_points=512, val_views=1,
     )
     opt = Config(
@@ -75,7 +78,10 @@ def test_generated_tree_loads_through_synthetic_dataset(tmp_path):
     from zeroshape_tpu.data.synthetic import SyntheticDataset
 
     ds = SyntheticDataset(opt, split="train")
-    assert len(ds) == 2 * 2  # 2 objects x (3 views - 1 val view)
+    assert len(ds) == 5 * 2  # 5 objects x (3 views - 1 val view)
+    underscored = [i for i, e in enumerate(ds.list) if "_" in e[2]]
+    assert underscored, "expected an object name containing an underscore"
+    ds[underscored[0]]  # must resolve every per-object file path
     s = ds[0]
     assert s["rgb_input_map"].shape == (H, H, 3)
     assert s["depth_input_map"].shape == (H, H, 1)
@@ -91,4 +97,4 @@ def test_generated_tree_loads_through_synthetic_dataset(tmp_path):
     assert ((s["depth_input_map"][..., 0] > 0) == (s["mask_input_map"][..., 0] > 0.5)).all()
 
     val = SyntheticDataset(opt, split="val")
-    assert len(val) == 2
+    assert len(val) == 5

@@ -75,9 +75,13 @@ class SyntheticDataset(base.Dataset):
                 if len(stems) > self.max_imgs:
                     stems = stems[: int(self.max_imgs)]
                 for stem in stems:
-                    # "{cat}_{object}_{sample}"; the category itself may
-                    # contain underscores, so split from the right
-                    object_name, sample_id = stem.rsplit("_", 2)[-2:]
+                    # "{cat}_{object}_{sample}": the category prefix is
+                    # known, so strip it exactly; the object name itself may
+                    # contain underscores (e.g. analytic "box_sphere4",
+                    # objaverse asset ids), so only the final "_{sample}"
+                    # splits off the right
+                    assert stem.startswith(cat + "_"), (stem, cat)
+                    object_name, sample_id = stem[len(cat) + 1:].rsplit("_", 1)
                     entries.append((subset, cat, object_name, sample_id))
         return entries
 
