@@ -214,10 +214,13 @@ class Runner(RunnerBase):
                                 pts_l, kvs_l, packed_l, **kw
                             )
 
+                        # check_vma=False: the body is collective-free and a
+                        # pallas_call's out_shape carries no vma annotation
                         return jax.shard_map(
                             local, mesh=mesh,
                             in_specs=(PS("data"), PS("data"), PS()),
                             out_specs=PS("data"),
+                            check_vma=False,
                         )(pts, [tuple(c) for c in caches], packed)
                     if batch_size == 1:
                         occ = implicit_kernel.fused_decode(
