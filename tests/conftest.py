@@ -21,6 +21,12 @@ if "xla_cpu_collective" not in flags:
 os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Keep the suite hermetic: the CLIs enable the persistent compile cache
+# (config._enable_compilation_cache), but cache entries AOT-compiled on a
+# machine with different CPU features can SIGILL when loaded, and this
+# 1-core host is flaky enough already. CLI cache behavior is covered by
+# subprocess tests in test_config.py.
+os.environ.setdefault("ZEROSHAPE_NO_JAX_CACHE", "1")
 
 import jax
 

@@ -65,3 +65,39 @@ def test_frozen_config_is_readonly(tmp_path):
     cp = opt.unfrozen_copy()
     cp.H = 5
     assert cp.H == 5 and opt.H == 224
+
+
+def test_compilation_cache_enabled_by_process_options():
+    """Every CLI path (set_options -> process_options) turns on the
+    persistent XLA compile cache so repeat launches skip the full-model
+    compile; ZEROSHAPE_NO_JAX_CACHE opts out. Run in subprocesses: the
+    suite itself opts out (conftest) and jax config is process-global."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from zeroshape_tpu.config import _enable_compilation_cache;"
+        "_enable_compilation_cache();"
+        "d = jax.config.jax_compilation_cache_dir;"
+        "print('DIR', d)"
+    )
+    env = dict(os.environ)
+    env.pop("ZEROSHAPE_NO_JAX_CACHE", None)
+    out = subprocess.run(
+        [sys.executable, "-c", prog], env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "DIR" in out.stdout and out.stdout.split("DIR", 1)[1].strip().endswith(
+        ".jax_cache"
+    ), out.stdout
+
+    env["ZEROSHAPE_NO_JAX_CACHE"] = "1"
+    out = subprocess.run(
+        [sys.executable, "-c", prog], env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    tail = out.stdout.split("DIR", 1)[1].strip()
+    assert tail in ("None", ""), out.stdout

@@ -149,8 +149,37 @@ def override_options(opt, opt_over, key_stack=(), safe_check=False):
     return opt
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compile cache for every CLI entry point.
+
+    The flagship model's first jit costs 5-15 min through a remote TPU
+    backend; with the cache, repeat ``train.py``/``evaluate.py``/``demo.py``
+    launches on unchanged code skip it entirely. (The reference has no
+    analogous cost: torch eager-executes.) Opt out with
+    ``ZEROSHAPE_NO_JAX_CACHE=1``; ``JAX_COMPILATION_CACHE_DIR`` overrides the
+    location (default: ``<repo>/.jax_cache``, shared with the multichip
+    dryrun's cache). Backends that cannot serialize executables degrade to a
+    warning + cache miss, never an error.
+    """
+    if os.environ.get("ZEROSHAPE_NO_JAX_CACHE"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return  # already configured (env var or dryrun_multichip)
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def process_options(opt):
     """Derived fields: seed, run name, output path, H/W."""
+    _enable_compilation_cache()
     if opt.get("seed") is None:
         randkey = "".join(random.choice(string.ascii_uppercase) for _ in range(4))
         opt["name"] = f"{opt.get('name', 'run')}_{randkey}"
