@@ -111,6 +111,9 @@ def build(use_fused=None, attn_mode="blockdiag", tile=512):
                     variables["batch_stats"], payload["batch_stats"]
                 ),
             }
+            # merged trees are host numpy; without this every rep re-uploads
+            # all params (~15 s/call on the tunneled backend, 100x compute)
+            variables = jax.device_put(variables)
             sharpen = 1.0  # a trained field is already saturated
             real = _real_sample(opt.H)
             if real is not None:

@@ -132,6 +132,9 @@ def main():
         variables["params"] = merge_params(variables["params"], params)
         if stats:
             variables["batch_stats"] = merge_params(variables["batch_stats"], stats)
+        # merged trees are host numpy; without this every per-image call
+        # re-uploads all params (seconds per image on a tunneled backend)
+        variables = jax.device_put(variables)
         print("==> checkpoint loaded")
 
     save_folder = os.path.join(opt.datadir, "preds")
@@ -148,24 +151,23 @@ def main():
     def forward(batch):
         return model.apply(variables, batch, train=False, mutable=False)
 
-    # Shape task runs the engine's jitted reconstruction: hier + fused-Pallas
-    # decode where supported (the same fast path evaluate.py's in-training
-    # validation uses), with the dense decode-with-attention pass running
-    # ONLY when the attention GIF is dumped (--eval.dump_attn, on by default
-    # for reference parity — the reference demo always dumps attention,
-    # demo.py:198-202). `--eval.dump_attn!` gives the <1 s/image fast path.
+    # Shape task: with the attention GIF on (--eval.dump_attn, the default —
+    # the reference demo always dumps attention, demo.py:198-202) ONE dense
+    # decode-with-attention pass produces both the mesh grid and the maps.
+    # `--eval.dump_attn!` swaps in the engine's fast jitted reconstruction
+    # (hier + fused-Pallas decode, the same path evaluate.py's in-training
+    # validation uses) for the <1 s/image mode. Exactly one program compiles
+    # and one forward+decode runs per image either way.
     dump_attn = bool(opt.eval.get("dump_attn", True))
     if opt.task == "shape":
         from zeroshape_tpu.parallel.mesh import make_mesh
         from zeroshape_tpu.runtime.shape_engine import Runner
 
-        runner = object.__new__(Runner)
-        runner.opt = opt
-        runner.model = model
-        runner._recon_cache = {}
-        runner._recon_attn_cache = {}
-        recon = runner._recon_fn(1, mesh=make_mesh(1), training=True)
-        recon_attn = runner._recon_attn_fn(1) if dump_attn else None
+        runner = Runner.for_inference(opt, model)
+        if dump_attn:
+            recon_attn = runner._recon_attn_fn(1)
+        else:
+            recon = runner._recon_fn(1, mesh=make_mesh(1), training=True)
 
     import time
 
@@ -179,11 +181,12 @@ def main():
         t0 = time.perf_counter()
         idx = var["idx"]
         if opt.task == "shape":
-            out, level, _ = recon(variables, batch, jax.random.PRNGKey(i))
+            if dump_attn:
+                out, level, _, attn = recon_attn(variables, batch, jax.random.PRNGKey(i))
+            else:
+                out, level, _ = recon(variables, batch, jax.random.PRNGKey(i))
             level_np = np.asarray(level)  # host sync closes the timing window
             per_image_s.append(time.perf_counter() - t0)
-            if dump_attn:
-                _, _, _, attn = recon_attn(variables, batch, jax.random.PRNGKey(i))
             verts, faces = marching_cubes_mesh(level_np[0])
             verts = verts / S * (hi - lo) + lo
             vis.dump_images(

@@ -23,9 +23,23 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PORT = int(os.environ.get("MULTIHOST_SIM_PORT", "49617"))
 N_PROC = 2
 DEV_PER_PROC = 4
+
+
+def _port() -> int:
+    """Workers read the coordinator port the parent picked; the parent binds
+    port 0 so concurrent/back-to-back runs never collide on a fixed port."""
+    given = os.environ.get("MULTIHOST_SIM_PORT")
+    if given:
+        return int(given)
+    import socket
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
 
 
 def worker(pid: int) -> None:
@@ -41,7 +55,7 @@ def worker(pid: int) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}",
+        coordinator_address=f"localhost:{os.environ['MULTIHOST_SIM_PORT']}",
         num_processes=N_PROC,
         process_id=pid,
     )
@@ -93,6 +107,7 @@ def main() -> None:
 
     procs = []
     env = dict(os.environ)
+    env["MULTIHOST_SIM_PORT"] = str(_port())
     for pid in range(N_PROC):
         procs.append(
             subprocess.Popen(
@@ -103,10 +118,27 @@ def main() -> None:
                 text=True,
             )
         )
+
+    # an external `timeout`/Ctrl-C kills only this parent; reap the workers
+    # too or they spin forever waiting on the dead coordinator
+    import signal
+
+    def _reap(signum, frame):
+        for q in procs:
+            q.kill()
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _reap)
+    signal.signal(signal.SIGINT, _reap)
     losses = []
     failed = False
     for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=1800)
+        try:
+            out, _ = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:  # don't leak the peer on a hang
+                q.kill()
+            raise
         print(f"----- proc {pid} (rc={p.returncode}) -----")
         print(out[-2000:])
         if p.returncode != 0:

@@ -84,6 +84,7 @@ def test_compilation_cache_enabled_by_process_options():
     )
     env = dict(os.environ)
     env.pop("ZEROSHAPE_NO_JAX_CACHE", None)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)  # an ambient dir would win
     out = subprocess.run(
         [sys.executable, "-c", prog], env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -180,6 +180,15 @@ def test_shape_engine_end_to_end(tmp_path):
     runner2.setup_optimizer(default_collate([runner2.train_data[0]]))
     runner2.restore_checkpoint()
     assert runner2.iter_start > 0
+    # restored state must be DEVICE-resident: host-numpy params silently
+    # re-upload the whole tree on every jitted call (seconds per call on a
+    # tunneled TPU backend) — regression for the 14.7 s/image bench
+    import jax
+
+    for leaf in jax.tree.leaves(runner2.state.params):
+        assert isinstance(leaf, jax.Array), type(leaf)
+    for leaf in jax.tree.leaves(runner2.state.opt_state):
+        assert not hasattr(leaf, "shape") or isinstance(leaf, jax.Array), type(leaf)
 
 
 @pytest.mark.slow

@@ -135,6 +135,27 @@ class RunnerBase:
             self.state, self.opt, graph=self.graph_name, log=log_print
         )
 
+    def _device_put_state(self):
+        """Move the state onto the mesh (replicated), leaves committed.
+
+        Restored payloads and staged pretrained weights are host-numpy trees
+        (checkpoint.apply_payload / merge_params); left that way, EVERY
+        jitted call re-uploads all params — on a tunneled TPU backend that
+        is seconds per call, ~100x the actual compute. Training self-heals
+        after one step (the returned state is device-resident), but
+        evaluate/demo pay it on every batch. One explicit transfer here
+        fixes all of it.
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        self.state = self.state.replace(
+            params=jax.device_put(self.state.params, rep),
+            batch_stats=jax.device_put(self.state.batch_stats, rep),
+            opt_state=jax.device_put(self.state.opt_state, rep),
+        )
+
     def restore_checkpoint(self, best=False, evaluate=False):
         opt = self.opt
         if opt.get("resume"):
@@ -154,6 +175,8 @@ class RunnerBase:
             self.load_weights(opt.load)
         else:
             log_print("initializing weights from scratch...")
+        # covers --resume / --load / staged-pretrained / scratch alike
+        self._device_put_state()
 
     def load_weights(self, path):
         """Accepts a torch .ckpt file or an orbax checkpoint directory."""

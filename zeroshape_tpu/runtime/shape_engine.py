@@ -109,6 +109,34 @@ class Runner(RunnerBase):
     def variables(self):
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
+    @classmethod
+    def for_inference(cls, opt, model):
+        """Engine-less Runner exposing the jitted reconstruction paths.
+
+        For callers that skip the training lifecycle (demo.py, benchmark
+        scripts — the reference demo builds its Graph directly the same way,
+        demo.py:167-168). The caller owns ``variables``; note that
+        ``ShapeGraph.init`` only creates the implicit decoder's params when
+        the init batch carries supervision keys (gt_sample_points /
+        gt_sample_sdf) — see demo.py's dummy-supervision init.
+        """
+        runner = object.__new__(cls)
+        runner.opt = opt
+        runner.model = model
+        runner._recon_cache = {}
+        runner._recon_attn_cache = {}
+        runner._score_cache = {}
+        runner._bf_cache = {}
+        runner._viz_fwd = None
+        return runner
+
+    @staticmethod
+    def _mesh_key(mesh):
+        """Meshes with different device sets compile different programs
+        (shardings, shard_map wrapping, the n_dev fused gate), so every
+        jit cache is keyed on the device list, not just the batch size."""
+        return tuple(d.id for d in mesh.devices.flat)
+
     # -- jitted reconstruction --------------------------------------------------
     def _recon_fn(self, batch_size, mesh=None, training=True):
         """image batch -> (outputs, level grid, world-frame surface samples).
@@ -125,7 +153,8 @@ class Runner(RunnerBase):
         principle hide sub-cell features from the coarse pass, so reported
         numbers default to the exhaustive path.
         """
-        key = (batch_size, bool(training))
+        mesh = mesh or self._eval_mesh(batch_size)
+        key = (batch_size, bool(training), self._mesh_key(mesh))
         if key in self._recon_cache:
             return self._recon_cache[key]
         opt = self.opt
@@ -134,7 +163,6 @@ class Runner(RunnerBase):
         S = vox + 1
         num_points = opt.eval.num_points
         model = self.model
-        mesh = mesh or self._eval_mesh(batch_size)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         bsh = NamedSharding(mesh, P("data"))
@@ -280,12 +308,13 @@ class Runner(RunnerBase):
         return jitted
 
     def _score_fn(self, batch_size, mesh=None):
-        if batch_size in self._score_cache:
-            return self._score_cache[batch_size]
+        mesh = mesh or self._eval_mesh(batch_size)
+        key = (batch_size, self._mesh_key(mesh))
+        if key in self._score_cache:
+            return self._score_cache[key]
         opt = self.opt
         thresholds = tuple(opt.eval.f_thresholds)
         use_icp = bool(opt.eval.get("icp"))
-        mesh = mesh or self._eval_mesh(batch_size)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         bsh = NamedSharding(mesh, P("data"))
@@ -300,7 +329,7 @@ class Runner(RunnerBase):
             return acc_d.mean(axis=1), comp_d.mean(axis=1), f, pred_n, gt_n
 
         jitted = jax.jit(score, in_shardings=(bsh, bsh))
-        self._score_cache[batch_size] = jitted
+        self._score_cache[key] = jitted
         return jitted
 
     def _recon_attn_fn(self, batch_size=1):
@@ -350,17 +379,19 @@ class Runner(RunnerBase):
     def _brute_force_fn(self, batch_size, mesh=None):
         """Batched, mesh-sharded brute-force alignment (replaces the per-
         sample Python loop; reference protocol eval_3D.py:140-170)."""
-        if batch_size in self._bf_cache:
-            return self._bf_cache[batch_size]
+        mesh = mesh or self._eval_mesh(batch_size)
+        key = (batch_size, self._mesh_key(mesh))
+        if key in self._bf_cache:
+            return self._bf_cache[key]
         opt = self.opt
         prune = opt.eval.get("bf_prune", (1024, 128))
         fn = eval3d.make_brute_force_batch(
-            mesh=mesh or self._eval_mesh(batch_size),
+            mesh=mesh,
             thresholds=tuple(opt.eval.f_thresholds),
             prune=tuple(prune) if prune else None,
             fast_coarse=bool(opt.eval.get("bf_fast_coarse", True)),
         )
-        self._bf_cache[batch_size] = fn
+        self._bf_cache[key] = fn
         return fn
 
     # -- training ----------------------------------------------------------------
