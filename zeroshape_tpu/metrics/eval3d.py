@@ -37,6 +37,25 @@ def get_dense_3D_grid(vox_res, rng=(-1.5, 1.5)):
     return jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
 
 
+def _map_point_tiles(fn, points, tile_points):
+    """Pad a flat [P, 3] point set to whole tiles and lax.map ``fn`` over
+    them; tile size is clamped to P so padding never exceeds one tile (a
+    729-point coarse lattice must not cost a 16641-point decode).
+    Returns (stacked fn outputs with a leading tile axis, P)."""
+    P = points.shape[0]
+    tp = max(1, min(tile_points, P))
+    n_tiles = -(-P // tp)
+    pts = jnp.pad(points, ((0, n_tiles * tp - P), (0, 0)))
+    return jax.lax.map(fn, pts.reshape(n_tiles, tp, 3)), P
+
+
+def _untile(x, batch_size, P):
+    """[n_tiles, B, T, ...] -> [B, P, ...] (inverse of _map_point_tiles)."""
+    trailing = x.shape[3:]
+    x = jnp.moveaxis(x, 1, 0).reshape((batch_size, -1) + trailing)
+    return x[:, :P]
+
+
 def occupancy_grid(decode_fn, points, batch_size, tile_points=16641):
     """Decode occupancy logits for a flat point set in tiles.
 
@@ -48,19 +67,13 @@ def occupancy_grid(decode_fn, points, batch_size, tile_points=16641):
     Returns:
       sigmoid occupancies [B, P].
     """
-    P = points.shape[0]
-    n_tiles = -(-P // tile_points)
-    pad = n_tiles * tile_points - P
-    pts = jnp.pad(points, ((0, pad), (0, 0)))
-    tiles = pts.reshape(n_tiles, tile_points, 3)
 
     def tile_fn(tile):
         batch_pts = jnp.broadcast_to(tile[None], (batch_size,) + tile.shape)
         return decode_fn(batch_pts)  # [B, T]
 
-    occ = jax.lax.map(tile_fn, tiles)  # [n_tiles, B, T]
-    occ = jnp.moveaxis(occ, 1, 0).reshape(batch_size, -1)[:, :P]
-    return jax.nn.sigmoid(occ)
+    occ, P = _map_point_tiles(tile_fn, points, tile_points)
+    return jax.nn.sigmoid(_untile(occ, batch_size, P))
 
 
 def _upsample_nearest(level_c, factor):
@@ -93,16 +106,23 @@ def resolve_hier_capacity(vox_res, capacity=None, factor=4):
     return max(1, min(capacity, nc**3))
 
 
-def hier_decode_saves_work(vox_res, capacity=None, factor=4):
-    """Whether the coarse-to-fine decode issues fewer queries than dense.
-
-    Fine queries = capacity * (factor+1)^3 (+ the coarse lattice); at small
-    vox_res or large capacity this can exceed the dense (vox_res+1)^3 count,
-    in which case callers should keep the dense path.
+def hier_decode_saves_work(vox_res, capacity=None, factor=4, tile_points=16641):
+    """Whether the coarse-to-fine decode issues fewer DECODED queries than
+    dense, counting the tile padding each path actually pays: the hier decode
+    tiles both its passes to ``tile_points`` (clamped to the point count, so
+    padding is bounded by one tile), while the engine's dense path tiles to
+    one (vox_res+1)^2 slice, which divides (vox_res+1)^3 exactly. At small
+    vox_res or large capacity hier can exceed the dense count, in which case
+    callers should keep the dense path.
     """
+
+    def tiled(P):
+        tp = max(1, min(tile_points, P))
+        return -(-P // tp) * tp
+
     cap = resolve_hier_capacity(vox_res, capacity, factor)
     nc = vox_res // factor
-    hier_queries = cap * (factor + 1) ** 3 + (nc + 1) ** 3
+    hier_queries = tiled(cap * (factor + 1) ** 3) + tiled((nc + 1) ** 3)
     return hier_queries < (vox_res + 1) ** 3
 
 
@@ -225,12 +245,14 @@ def occupancy_grid_hierarchical(
     Pc = f1**3
     pts = pts.reshape(B, K * Pc, 3)
 
-    # tile the per-sample point sets through decode_fn
+    # tile the per-sample point sets through decode_fn (clamped like
+    # occupancy_grid so padding never exceeds one tile)
     P = K * Pc
-    n_tiles = -(-P // tile_points)
-    pad = n_tiles * tile_points - P
+    tp = max(1, min(tile_points, P))
+    n_tiles = -(-P // tp)
+    pad = n_tiles * tp - P
     pts = jnp.pad(pts, ((0, 0), (0, pad), (0, 0)))
-    tiles = jnp.moveaxis(pts.reshape(B, n_tiles, tile_points, 3), 1, 0)
+    tiles = jnp.moveaxis(pts.reshape(B, n_tiles, tp, 3), 1, 0)
     occ_f = jax.lax.map(decode_fn, tiles)  # [n_tiles, B, T]
     occ_f = jax.nn.sigmoid(jnp.moveaxis(occ_f, 1, 0).reshape(B, -1)[:, :P])
 
@@ -263,21 +285,16 @@ def occupancy_grid_with_attn(decode_fn, points, batch_size, vox_res, tile_points
       averaged over the z axis (reference eval_3D.py:50-52).
     """
     S = vox_res + 1
-    P = points.shape[0]
-    n_tiles = -(-P // tile_points)
-    pad = n_tiles * tile_points - P
-    pts = jnp.pad(points, ((0, pad), (0, 0)))
-    tiles = pts.reshape(n_tiles, tile_points, 3)
 
     def tile_fn(tile):
         batch_pts = jnp.broadcast_to(tile[None], (batch_size,) + tile.shape)
         occ, attn = decode_fn(batch_pts)
         return occ, attn
 
-    occ, attn = jax.lax.map(tile_fn, tiles)
-    occ = jnp.moveaxis(occ, 1, 0).reshape(batch_size, -1)[:, :P]
+    (occ, attn), P = _map_point_tiles(tile_fn, points, tile_points)
+    occ = _untile(occ, batch_size, P)
+    attn = _untile(attn, batch_size, P)
     L = attn.shape[-1]
-    attn = jnp.moveaxis(attn, 1, 0).reshape(batch_size, -1, L)[:, :P]
     attn = attn.reshape(batch_size, S, S, S, L).mean(axis=3)  # avg over z
     return jax.nn.sigmoid(occ), attn
 
@@ -362,11 +379,11 @@ def brute_force_search_impl(
 ):
     """Best-of-6912-rotations alignment of one sample.
 
-    The search is coarse-to-fine: every rotation is first scored on a random
-    ``prune[0]``-point subsample of both clouds (the surface points are
-    already i.i.d. area-uniform draws, so a prefix is a valid subsample),
-    then the best ``prune[1]`` candidates are rescored with the full exact
-    Chamfer. The *reported* metrics always come from the exact full-cloud
+    The search is coarse-to-fine: every rotation is first scored on a
+    ``prune[0]``-point subsample of both clouds (a prefix of the predicted
+    cloud, whose points are i.i.d. area-uniform draws, and an evenly strided
+    gather of the GT cloud, whose file order is arbitrary), then the best
+    ``prune[1]`` candidates are rescored with the full exact Chamfer. The *reported* metrics always come from the exact full-cloud
     pass; pruning only narrows which rotations get the exact treatment. With
     (1024, 128) this removes ~96% of the full-resolution NN work, which is
     what makes evaluate.py's per-sample protocol (eval_3D.py:140-170)
@@ -389,8 +406,13 @@ def brute_force_search_impl(
     if prune is not None and prune[1] < n_rot:
         m, K = prune
         m = min(m, pc_pred.shape[0], pc_gt.shape[0])
-        pred_sub = pc_pred[:m]
-        gt_sub = normalize_pc(pc_gt[:m][None])
+        pred_sub = pc_pred[:m]  # i.i.d. by construction (sample_surface_points)
+        # GT clouds come verbatim from dataset .npy files whose point order
+        # may be spatially sorted (mesh traversal); a prefix would then be a
+        # spatially biased subsample that misranks rotations. An evenly
+        # strided gather is representative under any ordering.
+        gt_idx = np.round(np.linspace(0, pc_gt.shape[0] - 1, m)).astype(np.int32)
+        gt_sub = normalize_pc(pc_gt[gt_idx][None])
 
         def coarse_fn(R):
             rot = normalize_pc(jnp.einsum("rij,pj->rpi", R, pred_sub))

@@ -78,25 +78,40 @@ def _nn_kernel(x1_ref, x2_ref, dist_ref, idx_ref, *, tile):
     idx_ref[0, 0, pl.ds(i * tile, tile)] = jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
-def _nn_one_way_pallas(x1, x2, tile=256):
+def _nn_one_way_pallas(x1, x2, tile=None):
     """Same contract as :func:`_nn_one_way_xla`, as a Pallas kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, _ = x1.shape
     M = x2.shape[1]
-    Np, Mp = _round_up(N, tile), _round_up(M, 128)
+    Mp = _round_up(M, 128)
+    if tile is None:
+        # bound the [tile, Mp] fp32 distance block in VMEM however large the
+        # resident cloud is (GT clouds are dataset-dependent; same policy as
+        # _nn_min_pallas, budgeted so M=10k keeps the proven tile=256)
+        tile = max(128, min(1024, (12 * 1024 * 1024 // (4 * Mp)) // 128 * 128))
+    tile = min(tile, _round_up(N, 128))
+    Np = _round_up(N, tile)
     x1p = jnp.pad(x1, ((0, 0), (0, Np - N), (0, 0)), constant_values=_PAD_VAL)
     x2p = jnp.pad(x2, ((0, 0), (0, Mp - M), (0, 0)), constant_values=_PAD_VAL)
     x1t = jnp.swapaxes(x1p, 1, 2)  # [B, 3, Np]
     x2t = jnp.swapaxes(x2p, 1, 2)  # [B, 3, Mp]
 
-    from functools import partial as _partial
+    # very large resident clouds need more than the 16 MiB default scoped
+    # VMEM even at the minimum tile (v5e has 128 MiB)
+    compiler_params = None
+    if tile * Mp * 4 > 8 * 1024 * 1024:
+        params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+            pltpu, "TPUCompilerParams"
+        )
+        compiler_params = params_cls(vmem_limit_bytes=100 * 1024 * 1024)
 
     grid = (B, Np // tile)
     dist, idx = pl.pallas_call(
-        _partial(_nn_kernel, tile=tile),
+        partial(_nn_kernel, tile=tile),
         grid=grid,
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec((1, 3, tile), lambda b, i: (b, 0, i)),
             pl.BlockSpec((1, 3, Mp), lambda b, i: (b, 0, 0)),

@@ -181,7 +181,6 @@ def _decoder_kernel(
 ):
     from jax.experimental import pallas as pl
 
-    i = pl.program_id(0)
     mlp_refs = rest[:-1]
     out_ref = rest[-1]
 

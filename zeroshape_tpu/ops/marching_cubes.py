@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zeroshape_tpu.ops.mc_tables import CORNERS, EDGES, MAX_TRIS, N_TRI, TRI_TABLE
+from zeroshape_tpu.ops.mc_tables import CORNERS, EDGES, MAX_TRIS, TRI_TABLE
 
 # corner offsets as int, shape [8, 3]
 _CORNER_OFF = CORNERS.astype(np.int32)
@@ -222,9 +222,7 @@ def sample_surface_points(level, key, num_points=10000, isoval=0.5, slab=8):
     total = cdf[-1]
 
     k1, k2 = jax.random.split(key)
-    u = jax.random.uniform(k1, (num_points,)) * total
-    slots = jnp.searchsorted(cdf, u, side="right")
-    slots = jnp.minimum(slots, areas.shape[0] - 1)
+    slots = _draw_slots(cdf, k1, num_points)
 
     cube_ids = slots // MAX_TRIS
     tri_ids = (slots % MAX_TRIS).astype(jnp.int32)
@@ -236,19 +234,38 @@ def sample_surface_points(level, key, num_points=10000, isoval=0.5, slab=8):
         ],
         axis=-1,
     ).astype(jnp.int32)
-    tri_verts, valid = _cube_triangles(level, base, isoval)  # [P, T, 3, 3]
+    pts = _sample_from_tris(level, base, tri_ids, k2, isoval)
+    return jnp.where(total > 0, pts, jnp.zeros_like(pts))
+
+
+def _draw_slots(cdf, key, num_points):
+    """Inverse-CDF slot draw, u kept STRICTLY below the total.
+
+    At u == total (a ~1-in-2^24 fp32 rounding event) searchsorted returns
+    the slot count and a plain clamp would land on the trailing slot — which
+    is almost always an inactive (-1) one, emitting a garbage off-surface
+    point. Scaling by (1 - 2^-22) keeps u below total by more than one ulp,
+    and side='right' then always lands on a positive-area slot (zero-area
+    slots are cdf plateaus, which side='right' skips).
+    """
+    total = cdf[-1]
+    u = jax.random.uniform(key, (num_points,)) * (total * (1.0 - 2.0 ** -22))
+    return jnp.minimum(jnp.searchsorted(cdf, u, side="right"), cdf.shape[0] - 1)
+
+
+def _sample_from_tris(level, base_idx, tri_ids, key, isoval):
+    """Reconstruct the chosen triangles and draw one uniform point on each
+    (sqrt-trick barycentric sampling); shared by both samplers."""
+    tri_verts, _ = _cube_triangles(level, base_idx, isoval)  # [P, T, 3, 3]
     tri = jnp.take_along_axis(
         tri_verts, tri_ids[:, None, None, None].repeat(3, 2).repeat(3, 3), axis=1
     )[:, 0]  # [P, 3, 3]
-
-    # uniform barycentric sampling (sqrt trick)
-    r = jax.random.uniform(k2, (num_points, 2))
+    r = jax.random.uniform(key, (tri_ids.shape[0], 2))
     su = jnp.sqrt(r[:, :1])
     b0 = 1.0 - su
     b1 = su * (1.0 - r[:, 1:])
     b2 = su * r[:, 1:]
-    pts = b0 * tri[:, 0] + b1 * tri[:, 1] + b2 * tri[:, 2]
-    return jnp.where(total > 0, pts, jnp.zeros_like(pts))
+    return b0 * tri[:, 0] + b1 * tri[:, 1] + b2 * tri[:, 2]
 
 
 def sample_surface_points_cells(
@@ -258,12 +275,18 @@ def sample_surface_points_cells(
 
     Companion to metrics/eval3d.occupancy_grid_hierarchical: the coarse-to-
     fine decode already knows which ``factor``-sized cells can contain the
-    surface (every straddling cube lies inside an active cell), so the
-    per-triangle area pass only needs those cells' cubes — ~8x less VPU work
-    than the dense pass at a typical active fraction. The triangle set and
-    its areas are identical to :func:`sample_surface_points`; only the CDF
-    ordering differs (cell-major instead of row-major), so the same key
-    draws a different — but identically distributed — point set.
+    surface, so the per-triangle area pass only needs those cells' cubes —
+    ~8x less VPU work than the dense pass at a typical active fraction. When
+    the coarse margin test identifies every crossing (exact on every tested
+    field), the triangle set and its areas are identical to
+    :func:`sample_surface_points`; only the CDF ordering differs (cell-major
+    instead of row-major), so the same key draws a different — but
+    identically distributed — point set. Caveat: if the margin heuristic
+    ever missed a crossing, exact fine values scattered onto planes shared
+    with refined neighbors could create straddling cubes inside non-active
+    cells, which this sampler would skip while the dense sampler finds them
+    — one reason final metric runs default to the dense decode + dense
+    sampler (eval.hier_final).
 
     Args:
       level: [S, S, S] sigmoid occupancies, S = nc * factor + 1.
@@ -302,8 +325,7 @@ def sample_surface_points_cells(
     total = cdf[-1]
 
     k1, k2 = jax.random.split(key)
-    u = jax.random.uniform(k1, (num_points,)) * total
-    slots = jnp.minimum(jnp.searchsorted(cdf, u, side="right"), flat.shape[0] - 1)
+    slots = _draw_slots(cdf, k1, num_points)
 
     tri_ids = (slots % MAX_TRIS).astype(jnp.int32)
     cube_local = slots // MAX_TRIS  # [P] index into [K, f, f, f]
@@ -313,17 +335,7 @@ def sample_surface_points_cells(
         [rem // (factor * factor), (rem // factor) % factor, rem % factor], axis=-1
     ).astype(jnp.int32)
     base_idx = base[k_idx] + local  # [P, 3] global cube coords
-    tri_verts, _ = _cube_triangles(level, base_idx, isoval)
-    tri = jnp.take_along_axis(
-        tri_verts, tri_ids[:, None, None, None].repeat(3, 2).repeat(3, 3), axis=1
-    )[:, 0]
-
-    rbar = jax.random.uniform(k2, (num_points, 2))
-    su = jnp.sqrt(rbar[:, :1])
-    b0 = 1.0 - su
-    b1 = su * (1.0 - rbar[:, 1:])
-    b2 = su * rbar[:, 1:]
-    pts = b0 * tri[:, 0] + b1 * tri[:, 1] + b2 * tri[:, 2]
+    pts = _sample_from_tris(level, base_idx, tri_ids, k2, isoval)
     return jnp.where(total > 0, pts, jnp.zeros_like(pts))
 
 
