@@ -118,6 +118,17 @@ class DataLoader:
             if len(idx) < self.batch_size and self.drop_last:
                 continue
             if self.process_count > 1:
+                rem = len(idx) % self.process_count
+                if rem:
+                    # pad an uneven tail batch with repeats of its last row so
+                    # every process holds an equal, non-empty slice (torch
+                    # DistributedSampler semantics: duplicated tail samples
+                    # are evaluated twice — previously the remainder was
+                    # silently dropped, or collate crashed on an empty slice
+                    # when the tail was smaller than process_count)
+                    idx = np.concatenate(
+                        [idx, np.repeat(idx[-1], self.process_count - rem)]
+                    )
                 # contiguous per-process slice of the global batch: process p
                 # holds rows [p*local, (p+1)*local), matching the process-
                 # order concatenation jax.make_array_from_process_local_data

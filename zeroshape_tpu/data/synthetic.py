@@ -50,7 +50,8 @@ class SyntheticDataset(base.Dataset):
         # are not thread-safe, so SDF subsampling draws under a lock
         import threading
 
-        self.rng = np.random.default_rng(opt.get("seed", 0) or 0)
+        self.seed = opt.get("seed", 0) or 0
+        self._visits = {}  # per-sample draw counter (see __getitem__)
         self._rng_lock = threading.Lock()
 
     def get_list(self, opt, split):
@@ -170,10 +171,18 @@ class SyntheticDataset(base.Dataset):
         pts, sdf = self.get_gt_sdf(subset, category, object_name)
         n = opt.training.get("n_sdf_points")
         if n:
-            # spawn is O(1); the full permutation runs outside the lock so
-            # decode threads don't serialize on it (pts can be 100k+ rows)
+            # deterministic per-(seed, sample, visit) generator: loader-pool
+            # thread scheduling must not decide which SDF subset a sample
+            # trains on (a shared rng.spawn handed out children in thread-
+            # arrival order, so identical seeds trained on different points).
+            # The visit counter advances the subsample each epoch — the same
+            # fresh-draw-per-epoch behavior as the reference's torch sampling
+            # (data/synthetic.py:166-169), but reproducible. The permutation
+            # runs outside the lock (pts can be 100k+ rows).
             with self._rng_lock:
-                child = self.rng.spawn(1)[0]
+                visit = self._visits.get(idx, 0)
+                self._visits[idx] = visit + 1
+            child = np.random.default_rng((self.seed, idx, visit))
             sel = child.permutation(pts.shape[0])[:n]
             pts, sdf = pts[sel], sdf[sel]
         sample["gt_sample_points"] = pts

@@ -34,14 +34,25 @@ def make_mesh_for_batch(
     """
     n_dev = len(jax.devices())
     n = max(k for k in range(1, n_dev + 1) if batch_size % k == 0)
-    if n < n_dev and warn:
-        import warnings
+    if n < n_dev:
+        if jax.process_count() > 1:
+            # a shrunken mesh would exclude some processes' devices entirely,
+            # and make_array_from_process_local_data cannot assemble a global
+            # batch onto a mesh a feeding process does not participate in —
+            # fail loudly instead of crashing later with an opaque error
+            raise ValueError(
+                f"batch_size={batch_size} must be a multiple of the global "
+                f"device count ({n_dev}) in multi-process runs; a degraded "
+                f"{n}-device mesh cannot span all processes."
+            )
+        if warn:
+            import warnings
 
-        warnings.warn(
-            f"batch_size={batch_size} is not divisible by {n_dev} devices; "
-            f"using a {n}-device data mesh. Pick a multiple of {n_dev} for "
-            "full utilization."
-        )
+            warnings.warn(
+                f"batch_size={batch_size} is not divisible by {n_dev} devices; "
+                f"using a {n}-device data mesh. Pick a multiple of {n_dev} for "
+                "full utilization."
+            )
     return make_mesh(n, axis_name)
 
 
@@ -79,6 +90,26 @@ def pad_to_multiple(n: int, k: int) -> int:
     return -(-n // k) * k
 
 
+def pad_batch(batch, target):
+    """Edge-pad the batch's leading dim up to ``target`` rows.
+
+    The single padding helper behind both the engines' eval-tail handling
+    (padded rows are sliced off the outputs) and :func:`pad_batch_for_mesh`.
+    """
+    leaves = jax.tree.leaves(batch)
+    B = leaves[0].shape[0]
+    if B >= target:
+        return batch
+    pad = target - B
+
+    def pad_leaf(x):
+        x = np.asarray(x)
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths, mode="edge")
+
+    return jax.tree.map(pad_leaf, batch)
+
+
 def pad_batch_for_mesh(batch, mesh: Mesh):
     """Pad the batch's leading dim to a mesh-size multiple; returns
     (padded batch, validity mask [B_padded]).
@@ -91,14 +122,7 @@ def pad_batch_for_mesh(batch, mesh: Mesh):
     leaves = jax.tree.leaves(batch)
     B = leaves[0].shape[0]
     Bp = pad_to_multiple(B, n_dev)
-    if Bp == B:
-        mask = np.ones((B,), np.float32)
-        return batch, mask
-    pad = Bp - B
-
-    def pad_leaf(x):
-        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return np.pad(np.asarray(x), widths, mode="edge")
-
-    mask = np.concatenate([np.ones((B,), np.float32), np.zeros((pad,), np.float32)])
-    return jax.tree.map(pad_leaf, batch), mask
+    mask = np.concatenate(
+        [np.ones((B,), np.float32), np.zeros((Bp - B,), np.float32)]
+    )
+    return pad_batch(batch, Bp), mask

@@ -97,7 +97,10 @@ def make_optimizer(
 
     def make_sched(base):
         if sched:
-            return epoch_cosine_schedule(base, sched[0], sched[1])
+            # the schedule counts OPTIMIZER updates, and under MultiSteps
+            # only every accum-th mini-batch commits one — scale the
+            # per-epoch step count so the anneal tracks real epochs
+            return epoch_cosine_schedule(base, sched[0], max(1, sched[1] // accum))
         return base
 
     def adamw(base_lr, wd):
@@ -112,13 +115,22 @@ def make_optimizer(
     labels = param_group_labels(params)
     tx = optax.multi_transform(transforms, labels)
     if clip_norm:
-        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+        pre = []
+        if fix_dpt:
+            # zero frozen-group grads BEFORE the global-norm clip: the DPT
+            # backbone holds most parameters, so letting its (discarded)
+            # gradients into ||g|| would over-clip the only trainable groups.
+            # The reference's frozen params carry no grads at all, so its
+            # clip norm sees only live gradients (shape_engine.py:269-270).
+            frozen = jax.tree.map(lambda l: l.startswith("finetune_"), labels)
+            pre.append(optax.masked(optax.set_to_zero(), frozen))
+        tx = optax.chain(*pre, optax.clip_by_global_norm(clip_norm), tx)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 
 
-def create_train_state(model, opt, batch, rng, dtype=None, steps_per_epoch=None):
+def create_train_state(model, opt, batch, rng, steps_per_epoch=None):
     """Initialize params/batch_stats and the optimizer."""
     variables = model.init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, batch, train=False
@@ -190,14 +202,3 @@ def make_train_step(
         in_shardings=(None, batch_sh, rep),
         donate_argnums=(0,),
     )
-
-
-def make_eval_step(model, mesh, axis_name: str = "data"):
-    """Jitted forward pass (no loss), batch sharded over the data axis."""
-    batch_sh = NamedSharding(mesh, P(axis_name))
-
-    def fwd(state, batch):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return model.apply(variables, batch, train=False)
-
-    return jax.jit(fwd, in_shardings=(None, batch_sh))

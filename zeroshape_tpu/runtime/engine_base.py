@@ -197,6 +197,14 @@ class RunnerBase:
             )
 
     def save_checkpoint(self, ep, it, latest=False, best=False):
+        import jax
+
+        if jax.process_index() != 0:
+            # single writer: in a multi-process run every process sees the
+            # same output_path on a shared filesystem, and concurrent
+            # rename-swap sequences (checkpoint._replace_dir) race — the
+            # reference writes from rank 0 only (shape_engine.py:283-295)
+            return None
         path = ckpt_util.save_checkpoint(
             self.opt.output_path, self.state, ep, it, self.best_val, self.best_ep,
             latest=latest, best=best,

@@ -31,6 +31,7 @@ from zeroshape_tpu.ops.marching_cubes import (
     sample_surface_points_cells,
 )
 from zeroshape_tpu.parallel import train as ptrain
+from zeroshape_tpu.parallel.mesh import pad_batch as _pad_batch
 from zeroshape_tpu.parallel.mesh import shard_batch
 from zeroshape_tpu.runtime.engine_base import RunnerBase
 from zeroshape_tpu.runtime.logging import MetricLogger, SmoothedValue, log_print
@@ -794,18 +795,5 @@ class Runner(RunnerBase):
             )
 
 
-def _pad_batch(batch, target):
-    leaves = jax.tree.leaves(batch)
-    B = leaves[0].shape[0]
-    if B == target:
-        return batch
-    pad = target - B
-
-    def pad_leaf(x):
-        x = np.asarray(x)
-        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return np.pad(x, widths, mode="edge")
-
-    return jax.tree.map(pad_leaf, batch)
 
 
