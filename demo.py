@@ -168,6 +168,11 @@ def main():
             recon_attn = runner._recon_attn_fn(1)
         else:
             recon = runner._recon_fn(1, mesh=make_mesh(1), training=True)
+        # the (vox+1)^3 fp32 grid is ~8.6 MB at vox 128 — on a tunneled
+        # backend its host transfer dominates the per-image time. The host
+        # mesher only interpolates vertex positions from it, for which fp16
+        # is ample (<=1e-3 of a cell), so transfer at half width.
+        to_f16 = jax.jit(lambda l: l.astype(jnp.float16))
 
     import time
 
@@ -185,7 +190,8 @@ def main():
                 out, level, _, attn = recon_attn(variables, batch, jax.random.PRNGKey(i))
             else:
                 out, level, _ = recon(variables, batch, jax.random.PRNGKey(i))
-            level_np = np.asarray(level)  # host sync closes the timing window
+            # host sync closes the timing window
+            level_np = np.asarray(to_f16(level)).astype(np.float32)
             per_image_s.append(time.perf_counter() - t0)
             verts, faces = marching_cubes_mesh(level_np[0])
             verts = verts / S * (hi - lo) + lo
