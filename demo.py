@@ -169,10 +169,13 @@ def main():
         else:
             recon = runner._recon_fn(1, mesh=make_mesh(1), training=True)
         # the (vox+1)^3 fp32 grid is ~8.6 MB at vox 128 — on a tunneled
-        # backend its host transfer dominates the per-image time. The host
-        # mesher only interpolates vertex positions from it, for which fp16
-        # is ample (<=1e-3 of a cell), so transfer at half width.
-        to_f16 = jax.jit(lambda l: l.astype(jnp.float16))
+        # backend its host transfer dominates the per-image time, so it
+        # moves at half width. Centering on the isovalue BEFORE the cast
+        # keeps every marching-cubes sign decision exact: fp16 relative
+        # precision near 0 is far finer than near 0.5 (where ~4.9e-4
+        # quantization steps could flip iso-crossings), so the demo mesh
+        # topology matches the eval path's fp32 grid bit-for-bit.
+        to_f16 = jax.jit(lambda l: (l - 0.5).astype(jnp.float16))
 
     import time
 
@@ -191,7 +194,7 @@ def main():
             else:
                 out, level, _ = recon(variables, batch, jax.random.PRNGKey(i))
             # host sync closes the timing window
-            level_np = np.asarray(to_f16(level)).astype(np.float32)
+            level_np = np.asarray(to_f16(level)).astype(np.float32) + 0.5
             per_image_s.append(time.perf_counter() - t0)
             verts, faces = marching_cubes_mesh(level_np[0])
             verts = verts / S * (hi - lo) + lo

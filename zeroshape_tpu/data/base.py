@@ -24,6 +24,11 @@ class Dataset:
     def __init__(self, opt, split: str = "train"):
         self.opt = opt
         self.split = split
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Current epoch for per-sample randomness (fed by DataLoader.set_epoch)."""
+        self._epoch = epoch
 
     def __len__(self):  # pragma: no cover - abstract
         raise NotImplementedError
@@ -103,8 +108,15 @@ class DataLoader:
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
-        """Reshuffle deterministically per epoch (DistributedSampler.set_epoch)."""
+        """Reshuffle deterministically per epoch (DistributedSampler.set_epoch).
+
+        Propagated to the dataset so per-sample randomness (e.g. the SDF
+        subsample draw) can key on the epoch instead of in-process state —
+        a --resume'd run then continues the per-epoch progression instead of
+        replaying epoch-0 draws."""
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _batch_indices(self) -> List[np.ndarray]:
         n = len(self.dataset)

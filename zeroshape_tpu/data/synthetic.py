@@ -46,13 +46,7 @@ class SyntheticDataset(base.Dataset):
         self.cat2label = {cat: i for i, cat in enumerate(self.category_list)}
         self.label2cat = list(self.category_list)
         self.list = self.get_list(opt, split)
-        # samples are decoded by DataLoader worker threads; numpy Generators
-        # are not thread-safe, so SDF subsampling draws under a lock
-        import threading
-
         self.seed = opt.get("seed", 0) or 0
-        self._visits = {}  # per-sample draw counter (see __getitem__)
-        self._rng_lock = threading.Lock()
 
     def get_list(self, opt, split):
         """Enumerate (subset, category, object, sample) sample keys.
@@ -171,18 +165,17 @@ class SyntheticDataset(base.Dataset):
         pts, sdf = self.get_gt_sdf(subset, category, object_name)
         n = opt.training.get("n_sdf_points")
         if n:
-            # deterministic per-(seed, sample, visit) generator: loader-pool
+            # deterministic per-(seed, sample, epoch) generator: loader-pool
             # thread scheduling must not decide which SDF subset a sample
             # trains on (a shared rng.spawn handed out children in thread-
             # arrival order, so identical seeds trained on different points).
-            # The visit counter advances the subsample each epoch — the same
-            # fresh-draw-per-epoch behavior as the reference's torch sampling
-            # (data/synthetic.py:166-169), but reproducible. The permutation
-            # runs outside the lock (pts can be 100k+ rows).
-            with self._rng_lock:
-                visit = self._visits.get(idx, 0)
-                self._visits[idx] = visit + 1
-            child = np.random.default_rng((self.seed, idx, visit))
+            # Keying on the loader's set_epoch value advances the subsample
+            # each epoch — the same fresh-draw-per-epoch behavior as the
+            # reference's torch sampling (data/synthetic.py:166-169) — and,
+            # unlike an in-memory visit counter, a --resume'd run continues
+            # the progression instead of replaying epoch-0 draws, and
+            # duplicated rows in one batch draw identically.
+            child = np.random.default_rng((self.seed, idx, self._epoch))
             sel = child.permutation(pts.shape[0])[:n]
             pts, sdf = pts[sel], sdf[sel]
         sample["gt_sample_points"] = pts
