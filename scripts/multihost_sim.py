@@ -1,4 +1,5 @@
-"""Two-process multi-host simulation of the distributed training path.
+"""Two-process multi-host simulation of the distributed training AND
+evaluation paths.
 
 Executes, for real, the code that only multi-node hardware would otherwise
 exercise (TRAINING.md "Scaling"): ``jax.distributed.initialize`` with a TCP
@@ -6,16 +7,21 @@ coordinator, per-process loader slicing (``DataLoader(process_index,
 process_count)`` — the reference's DistributedSampler role,
 reference data/base.py:11-26), global-batch assembly via
 ``jax.make_array_from_process_local_data`` (parallel/mesh.py:shard_batch),
-and one SPMD train step whose gradient all-reduce crosses the process
-boundary.
+one SPMD train step whose gradient all-reduce crosses the process boundary,
+and a full ``Runner.evaluate`` pass whose per-sample metrics are gathered
+across processes (parallel/mesh.py:replicate_to_host — the reference
+all_gathers them, model/shape_engine.py:413-429).
 
 Usage (from the repo root, CPU only — no TPU required):
-    python scripts/multihost_sim.py            # coordinator: spawns 2 procs
-    python scripts/multihost_sim.py worker I   # internal: process I
+    python scripts/multihost_sim.py            # both: train step + eval pass
+    python scripts/multihost_sim.py train      # train-step sim only
+    python scripts/multihost_sim.py eval       # evaluation sim only
+    python scripts/multihost_sim.py worker M I # internal: mode M, process I
 
 Each process hosts 4 virtual CPU devices -> a global 8-device data mesh.
-Success: both processes print the SAME finite loss (the all-reduced value)
-and exit 0.
+Success: both processes print the SAME finite loss (train) / the SAME global
+CD over the full uneven test set (eval: 10 samples through batches of 8,
+exercising the padded-tail masking) and exit 0.
 """
 
 import os
@@ -42,7 +48,7 @@ def _port() -> int:
     return port
 
 
-def worker(pid: int) -> None:
+def _init_dist(pid: int) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={DEV_PER_PROC}"
@@ -50,6 +56,7 @@ def worker(pid: int) -> None:
         + " --xla_cpu_collective_timeout_seconds=3600"
     ).strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("ZEROSHAPE_NO_JAX_CACHE", "1")
 
     import jax
 
@@ -62,6 +69,10 @@ def worker(pid: int) -> None:
     assert jax.process_count() == N_PROC, jax.process_count()
     assert jax.local_device_count() == DEV_PER_PROC
 
+
+def worker_train(pid: int) -> None:
+    _init_dist(pid)
+    import jax
     import numpy as np
 
     sys.path.insert(0, REPO)
@@ -100,18 +111,81 @@ def worker(pid: int) -> None:
     print(f"[proc {pid}] multihost step OK: loss_all={loss:.6f}", flush=True)
 
 
-def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "worker":
-        worker(int(sys.argv[2]))
-        return
+def worker_eval(pid: int) -> None:
+    """Full Runner.evaluate over 2 processes: per-process loader slices, a
+    sharded recon/score program, replicated metric gather, padded-tail
+    exclusion, per-process artifact dumps, rank-0 result files."""
+    _init_dist(pid)
+    import numpy as np
 
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_engine_integration import tiny_yaml
+
+    from zeroshape_tpu.config import Config, set_options
+    from zeroshape_tpu.data.base import default_collate
+    from zeroshape_tpu.runtime.shape_engine import Runner
+
+    class _P:
+        """Pathlib-free stand-in for tiny_yaml's tmp_path arg."""
+
+        def __init__(self, root):
+            self.root = root
+
+        def __truediv__(self, name):
+            return _P(os.path.join(self.root, name))
+
+        def write_text(self, text):
+            with open(self.root, "w") as f:
+                f.write(text)
+
+        def __str__(self):
+            return self.root
+
+    work = os.environ["MULTIHOST_SIM_WORKDIR"]  # fixture pre-generated there
+    yaml_path = tiny_yaml(_P(work), os.path.join(work, "data"))
+    opt = set_options(Config({"yaml": yaml_path}), safe_check=False)
+    opt = opt.unfrozen_copy()
+    # both meshes must span the 8 global devices in a multi-process run
+    opt.batch_size = N_PROC * DEV_PER_PROC
+    opt.eval.batch_size = N_PROC * DEV_PER_PROC
+    opt.eval.n_vis = 0
+    opt = opt.freeze()
+
+    runner = Runner(opt)
+    runner.load_dataset(load_train=False)
+    n_test = len(runner.test_data)
+    assert n_test % opt.eval.batch_size != 0, (
+        "fixture must have an uneven tail to exercise padded-row masking"
+    )
+    runner.build_networks()
+    runner.setup_optimizer(default_collate([runner.test_data[0]]))
+    runner.restore_checkpoint()
+    val = runner.evaluate(ep=0, training=False)
+    assert np.isfinite(val), val
+    print(f"[proc {pid}] multihost eval OK: n={n_test} CD={val:.6f}", flush=True)
+
+
+def _spawn(mode: str) -> None:
     procs = []
     env = dict(os.environ)
     env["MULTIHOST_SIM_PORT"] = str(_port())
+    if mode == "eval":
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="mh_eval_")
+        env["MULTIHOST_SIM_WORKDIR"] = work
+        sys.path.insert(0, REPO)
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from test_engine_integration import make_fixture_dataset
+
+        # 10 val samples -> batches of 8: one full batch + an uneven tail
+        make_fixture_dataset(os.path.join(work, "data"), n_objects=10,
+                             imgs_per_object=2, H=64)
     for pid in range(N_PROC):
         procs.append(
             subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "worker", str(pid)],
+                [sys.executable, os.path.abspath(__file__), "worker", mode, str(pid)],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -130,26 +204,38 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, _reap)
     signal.signal(signal.SIGINT, _reap)
-    losses = []
+    token = "loss_all=" if mode == "train" else "CD="
+    vals = []
     failed = False
     for pid, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=1800)
+            out, _ = p.communicate(timeout=3000)
         except subprocess.TimeoutExpired:
             for q in procs:  # don't leak the peer on a hang
                 q.kill()
             raise
-        print(f"----- proc {pid} (rc={p.returncode}) -----")
+        print(f"----- proc {pid} [{mode}] (rc={p.returncode}) -----")
         print(out[-2000:])
         if p.returncode != 0:
             failed = True
         for line in out.splitlines():
-            if "loss_all=" in line:
-                losses.append(float(line.split("loss_all=")[1]))
-    if failed or len(losses) != N_PROC:
-        raise SystemExit("multihost sim FAILED")
-    assert abs(losses[0] - losses[1]) < 1e-6, losses
-    print(f"multihost sim OK: both processes agree, loss_all={losses[0]:.6f}")
+            if token in line:
+                vals.append(float(line.split(token)[1]))
+    if failed or len(vals) != N_PROC:
+        raise SystemExit(f"multihost {mode} sim FAILED")
+    assert abs(vals[0] - vals[1]) < 1e-6, vals
+    print(f"multihost {mode} sim OK: both processes agree, {token}{vals[0]:.6f}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        mode, pid = sys.argv[2], int(sys.argv[3])
+        (worker_train if mode == "train" else worker_eval)(pid)
+        return
+
+    modes = [sys.argv[1]] if len(sys.argv) > 1 else ["train", "eval"]
+    for mode in modes:
+        _spawn(mode)
 
 
 if __name__ == "__main__":

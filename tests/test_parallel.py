@@ -163,14 +163,15 @@ def test_shard_batch_multihost_path_single_process(monkeypatch):
 
 
 def test_loader_uneven_tail_pads_across_processes():
-    """drop_last=False with a tail not divisible by process_count must pad
-    with repeats of the last row (DistributedSampler semantics) — not drop
-    the remainder or hand a process an empty slice."""
+    """drop_last=False with an uneven tail in multi-process runs must pad
+    with repeats of the last row up to the FULL global batch, so the valid
+    samples stay a contiguous global prefix and the engines can exclude
+    every padded row from metrics by count alone."""
     from zeroshape_tpu.data.base import DataLoader
 
     class Ints:
         def __len__(self):
-            return 11  # batch 4 -> tail of 3 over 2 procs
+            return 13  # batch 6 -> tail of 1 over 2 procs
 
         def __getitem__(self, i):
             return {"idx": np.int64(i)}
@@ -178,18 +179,70 @@ def test_loader_uneven_tail_pads_across_processes():
     rows = {p: [] for p in range(2)}
     for p in range(2):
         dl = DataLoader(
-            Ints(), batch_size=4, shuffle=False, drop_last=False, num_workers=1,
+            Ints(), batch_size=6, shuffle=False, drop_last=False, num_workers=1,
             seed=0, process_index=p, process_count=2,
         )
         for b in dl:
             rows[p].append(b["idx"])
-    # equal slice shapes per batch, including the padded tail
+    # every slice is exactly batch_size/process_count rows, tail included
     for b0, b1 in zip(rows[0], rows[1]):
-        assert b0.shape == b1.shape
+        assert b0.shape == b1.shape == (3,)
+    # the reassembled global tail batch is [12, 12, 12, 12, 12, 12]: the one
+    # valid row is the global prefix, everything after row B0=1 is padding
+    tail = np.concatenate([rows[0][-1], rows[1][-1]])
+    np.testing.assert_array_equal(tail, np.full(6, 12))
     merged = np.concatenate([np.concatenate(rows[0]), np.concatenate(rows[1])])
-    # every sample appears (nothing dropped); the pad duplicates the last row
-    assert set(range(11)) <= set(merged.tolist())
-    assert len(merged) == 12 and merged.tolist().count(10) == 2
+    assert set(range(13)) <= set(merged.tolist())  # nothing dropped
+
+
+def test_replicate_to_host_and_addressable_rows():
+    from zeroshape_tpu.parallel import mesh as pmesh
+
+    mesh = make_mesh(8)
+    x = np.arange(24, dtype=np.float32).reshape(8, 3)
+    sharded = pmesh.shard_batch({"x": x}, mesh)
+    out = pmesh.replicate_to_host({"x": sharded["x"]}, mesh)
+    np.testing.assert_array_equal(out["x"], x)
+    start, block = pmesh.addressable_rows(sharded["x"])
+    assert start == 0  # single process owns everything
+    np.testing.assert_array_equal(block, x)
+
+
+def test_brute_force_posture_exact_final_pruned_validation(monkeypatch):
+    """Final metric runs (training=False) must default to the exhaustive
+    search (prune=None); in-training validation keeps the pruned default;
+    an explicit eval.bf_prune applies everywhere (PARITY.md posture)."""
+    from zeroshape_tpu.config import Config
+    from zeroshape_tpu.metrics import eval3d
+    from zeroshape_tpu.runtime.shape_engine import Runner
+
+    captured = []
+
+    def fake_make(**kw):
+        captured.append(kw)
+        return lambda *a: None
+
+    monkeypatch.setattr(eval3d, "make_brute_force_batch", fake_make)
+
+    def runner_with(bf_prune):
+        opt = Config(
+            {"eval": {"f_thresholds": [0.01], "bf_prune": bf_prune,
+                      "batch_size": 8}}
+        )
+        r = Runner.for_inference(opt, model=None)
+        return r
+
+    r = runner_with(None)
+    mesh = make_mesh(8)
+    r._brute_force_fn(8, mesh=mesh, training=False)
+    r._brute_force_fn(8, mesh=mesh, training=True)
+    assert captured[0]["prune"] is None
+    assert captured[1]["prune"] == (1024, 128)
+    r2 = runner_with([64, 8])
+    r2._brute_force_fn(8, mesh=mesh, training=False)
+    r2._brute_force_fn(8, mesh=mesh, training=True)
+    assert captured[2]["prune"] == (64, 8)
+    assert captured[3]["prune"] == (64, 8)
 
 
 def test_cosine_schedule_counts_updates_under_accum():
@@ -244,8 +297,9 @@ def test_make_mesh_for_batch_rejects_partial_mesh_multiprocess(monkeypatch):
 
 def test_synthetic_sdf_subsample_deterministic(tmp_path):
     """Which SDF points a sample trains on must depend only on (seed, idx,
-    visit) — not on loader-thread scheduling (regression: a shared rng.spawn
-    handed out children in thread-arrival order)."""
+    epoch) — not on loader-thread scheduling (regression: a shared rng.spawn
+    handed out children in thread-arrival order) or in-process visit
+    counters (which a --resume cannot restore)."""
     from test_datasets import base_opt
     from test_engine_integration import make_fixture_dataset
 
@@ -264,6 +318,10 @@ def test_synthetic_sdf_subsample_deterministic(tmp_path):
     np.testing.assert_array_equal(
         ia[1]["gt_sample_sdf"], ib[1]["gt_sample_sdf"]
     )
-    # and the second visit of the same sample draws a DIFFERENT subset
+    # re-reading the same sample within one epoch draws the SAME subset
+    # (duplicated eval rows must agree), and the next epoch advances it
     a2 = a[0]
-    assert not np.array_equal(ia[0]["gt_sample_points"], a2["gt_sample_points"])
+    np.testing.assert_array_equal(ia[0]["gt_sample_points"], a2["gt_sample_points"])
+    a.set_epoch(1)
+    a3 = a[0]
+    assert not np.array_equal(ia[0]["gt_sample_points"], a3["gt_sample_points"])

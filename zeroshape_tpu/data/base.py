@@ -130,16 +130,19 @@ class DataLoader:
             if len(idx) < self.batch_size and self.drop_last:
                 continue
             if self.process_count > 1:
-                rem = len(idx) % self.process_count
-                if rem:
-                    # pad an uneven tail batch with repeats of its last row so
-                    # every process holds an equal, non-empty slice (torch
-                    # DistributedSampler semantics: duplicated tail samples
-                    # are evaluated twice — previously the remainder was
-                    # silently dropped, or collate crashed on an empty slice
-                    # when the tail was smaller than process_count)
+                if len(idx) < self.batch_size:
+                    # pad an uneven tail batch with repeats of its last row up
+                    # to the FULL global batch so every process holds an
+                    # equal, full-size slice. Padding to the full batch (not
+                    # just a process_count multiple) keeps the valid samples
+                    # a contiguous global prefix — the engines then exclude
+                    # every padded row from metrics by count alone, instead
+                    # of averaging duplicated tail samples into the results
+                    # (torch DistributedSampler duplicates them; the
+                    # reference corrects with an aux remainder loader,
+                    # shape_engine.py:57-62,436-461)
                     idx = np.concatenate(
-                        [idx, np.repeat(idx[-1], self.process_count - rem)]
+                        [idx, np.repeat(idx[-1], self.batch_size - len(idx))]
                     )
                 # contiguous per-process slice of the global batch: process p
                 # holds rows [p*local, (p+1)*local), matching the process-

@@ -496,7 +496,19 @@ def make_brute_force_batch(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     bsh = NamedSharding(mesh, P(axis_name))
-    return jax.jit(fn, in_shardings=(bsh, bsh))
+    # per-sample metrics come back replicated so every process of a
+    # multi-host run holds the full rows (reference all_gathers them,
+    # shape_engine.py:413-429); the big clouds stay sharded — each process
+    # dumps only the samples it owns
+    out_sh = {
+        "acc": NamedSharding(mesh, P()),
+        "comp": NamedSharding(mesh, P()),
+        "f_score": NamedSharding(mesh, P()),
+        "rotation": NamedSharding(mesh, P()),
+        "pc_pred": bsh,
+        "pc_gt": bsh,
+    }
+    return jax.jit(fn, in_shardings=(bsh, bsh), out_shardings=out_sh)
 
 
 def icp(X1, X2, num_iter=50, use_pallas=None):

@@ -86,6 +86,45 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def replicate_to_host(tree, mesh: Mesh):
+    """Full host-numpy values of (possibly multi-process-sharded) arrays.
+
+    Single process: a plain transfer. Multi-process: an identity jit with
+    replicated ``out_shardings`` — XLA all-gathers each leaf over the mesh
+    so every process holds the complete value (the reference all_gathers
+    per-sample eval metrics the same way, shape_engine.py:413-429). Intended
+    for small leaves (per-sample metric rows), not activation-sized tensors.
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    rep = replicated(mesh)
+    tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
+    return jax.tree.map(np.asarray, tree)
+
+
+def addressable_rows(x):
+    """This process's contiguous row block of a leading-axis-sharded global
+    array, as ``(start_row, numpy block)``.
+
+    Multi-process evaluation keeps big per-sample outputs (level grids,
+    point clouds) sharded; each process dumps artifacts only for the rows it
+    owns (the reference's per-rank dumping, shape_engine.py:379-387).
+    """
+    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start or 0)
+    start = shards[0].index[0].start or 0
+    stop = start
+    blocks = []
+    for s in shards:
+        s_start = s.index[0].start or 0
+        assert s_start == stop, (
+            f"non-contiguous addressable shards at row {s_start} (expected {stop})"
+        )
+        data = np.asarray(s.data)
+        stop = s_start + data.shape[0]
+        blocks.append(data)
+    return start, np.concatenate(blocks, axis=0)
+
+
 def pad_to_multiple(n: int, k: int) -> int:
     return -(-n // k) * k
 

@@ -39,7 +39,7 @@ class Runner(RunnerBase):
         dtype = dtype or resolve_compute_dtype(self.opt)
         log_print(f"building networks (compute dtype: {jnp.dtype(dtype).name})...")
         self.model = DepthGraph.from_opt(self.opt, dtype=dtype)
-        self._eval_fn = None
+        self._eval_prog = None
         self._viz_fwd = None
 
     def setup_optimizer(self, init_batch):
@@ -58,24 +58,45 @@ class Runner(RunnerBase):
     def variables(self):
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
-    def _forward(self):
-        """Jitted eval forward, batch sharded over the eval data mesh
-        (reference evaluates data-parallel across ranks, depth_engine.py:329)."""
-        if self._eval_fn is None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+    def _eval_program(self, thresholds):
+        """Forward + aligned depth metrics as ONE sharded program over the
+        eval mesh: per-sample metric rows come back replicated so every
+        process of a multi-host run holds the full values (the reference
+        all_gathers them, depth_engine.py:329-332); the depth map stays
+        batch-sharded for per-process dumping."""
+        if self._eval_prog is not None:
+            return self._eval_prog
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from zeroshape_tpu.parallel.mesh import make_mesh_for_batch
+        from zeroshape_tpu.parallel.mesh import make_mesh_for_batch
 
-            mesh = make_mesh_for_batch(self.opt.eval.batch_size, warn=False)
-            bsh = NamedSharding(mesh, P("data"))
-            rep = NamedSharding(mesh, P())
-            model = self.model
+        opt = self.opt
+        mesh = make_mesh_for_batch(opt.eval.batch_size, warn=False)
+        bsh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        model = self.model
+        depth_cap = opt.eval.get("depth_cap")
+        keys = metric_keys(thresholds)
 
-            def fwd(variables, batch):
-                return model.apply(variables, batch, train=False)
+        def run(variables, batch):
+            out = model.apply(variables, batch, train=False)
+            mask = batch.get("mask_eroded", batch["mask_input_map"])
+            metrics, _ = compute_depth_metrics(
+                jnp.transpose(out["depth_pred"], (0, 3, 1, 2)),
+                jnp.transpose(batch["depth_input_map"], (0, 3, 1, 2)),
+                jnp.transpose(mask, (0, 3, 1, 2)),
+                thresholds=thresholds,
+                depth_cap=depth_cap,
+            )
+            return metrics, out["depth_pred"]
 
-            self._eval_fn = jax.jit(fwd, in_shardings=(rep, bsh))
-        return self._eval_fn
+        jitted = jax.jit(
+            run,
+            in_shardings=(rep, bsh),
+            out_shardings=({k: rep for k in keys}, bsh),
+        )
+        self._eval_prog = (jitted, mesh)
+        return self._eval_prog
 
     # -- training -------------------------------------------------------------
     def train(self):
@@ -184,7 +205,9 @@ class Runner(RunnerBase):
 
     def vis_train_iter(self):
         """Viz-sample dumps into vis_log/iter_{it} (reference
-        depth_engine.py:238-252)."""
+        depth_engine.py:238-252; rank 0 only)."""
+        if jax.process_index() != 0:
+            return
         opt = self.opt
         folder = os.path.join("vis_log", f"iter_{self.it}")
         for sample in getattr(self, "viz_data", []) or []:
@@ -220,50 +243,76 @@ class Runner(RunnerBase):
 
     # -- evaluation -------------------------------------------------------------
     def evaluate(self, ep, training=False):
+        """Depth-metric evaluation (reference depth_engine.py:300-379),
+        multi-process-correct: global batches are assembled on the eval
+        mesh, per-sample metrics come back replicated (the reference's
+        all_gather), and padded tail rows are excluded by global count."""
         opt = self.opt
-        fwd = self._forward()
         thresholds = tuple(opt.eval.get("d_thresholds", (1.02, 1.05, 1.1, 1.2)))
+        run, mesh = self._eval_program(thresholds)
         keys = metric_keys(thresholds)
         sums = {k: 0.0 for k in keys}
         count = 0
         eval_bs = opt.eval.batch_size
+        n_proc = jax.process_count()
+        is_main = jax.process_index() == 0
+        local_bs = eval_bs // max(n_proc, 1)
+        N = len(self.test_data)
+        from zeroshape_tpu.parallel.mesh import replicate_to_host
+
         for it, batch in enumerate(self.test_loader):
-            B0 = batch["rgb_input_map"].shape[0]
-            batch_p = _pad_batch(batch, eval_bs)
-            out = fwd(self.variables(), model_batch(batch_p))
-            mask = batch_p.get("mask_eroded", batch_p["mask_input_map"])
-            metrics, aligned = compute_depth_metrics(
-                jnp.transpose(out["depth_pred"], (0, 3, 1, 2)),
-                jnp.transpose(jnp.asarray(batch_p["depth_input_map"]), (0, 3, 1, 2)),
-                jnp.transpose(jnp.asarray(mask), (0, 3, 1, 2)),
-                thresholds=thresholds,
-                depth_cap=opt.eval.get("depth_cap"),
+            # valid rows of this GLOBAL batch (see shape_engine.evaluate)
+            B0 = min(eval_bs, N - it * eval_bs)
+            batch_p = _pad_batch(batch, local_bs)
+            eval_keys = MODEL_KEYS + (
+                ("mask_eroded",) if "mask_eroded" in batch_p else ()
             )
+            dev = shard_batch(
+                {k: batch_p[k] for k in eval_keys if k in batch_p}, mesh
+            )
+            metrics, depth_pred = run(self.variables(), dev)
+            metrics = replicate_to_host(metrics, mesh)
             for k in keys:
-                sums[k] += float(np.asarray(metrics[k])[:B0].sum())
+                sums[k] += float(metrics[k][:B0].sum())
             count += B0
             if it % opt.freq.print_eval == 0:
                 log_print(f"Eval Iter {it}/{len(self.test_loader)} @ EP {ep}")
             if not training and it == 0:
-                idx = np.asarray(batch["idx"])[:B0]
-                folder = f"dump_{opt.data.dataset_test}"
-                vis.dump_images(
-                    opt.output_path, idx, "image_input",
-                    np.asarray(batch["rgb_input_map"])[:B0], folder=folder,
-                )
-                vis.dump_depths(
-                    opt.output_path, idx, "depth_est",
-                    np.asarray(out["depth_pred"])[:B0],
-                    np.asarray(batch["mask_input_map"])[:B0],
-                    rescale=True, folder=folder,
-                )
+                self._dump_eval_batch(batch_p, depth_pred, B0)
+        assert count == N
         means = {k: v / max(count, 1) for k, v in sums.items()}
         for k in keys:
             log_print(f"eval {k}: {means[k]:.4f}")
             if training:
                 self.log_scalar(f"eval/{k}", means[k], ep)
-        if not training:
+        if not training and is_main:
             with open(os.path.join(opt.output_path, "best_val.txt"), "w") as f:
                 for k in keys:
                     f.write(f"{k}: {means[k]:.6f}\n")
         return float(means["l1_err"])
+
+    def _dump_eval_batch(self, batch_p, depth_pred, B0):
+        """First-batch depth visualizations; each process dumps the rows it
+        owns (multi-process keeps depth_pred sharded)."""
+        opt = self.opt
+        folder = f"dump_{opt.data.dataset_test}"
+        if jax.process_count() == 1:
+            row0, depth_l = 0, np.asarray(depth_pred)
+        else:
+            from zeroshape_tpu.parallel.mesh import addressable_rows
+
+            row0, depth_l = addressable_rows(depth_pred)
+        n_valid = int(np.clip(B0 - row0, 0, depth_l.shape[0]))
+        if n_valid <= 0:
+            return
+        idx = np.asarray(batch_p["idx"])[:n_valid]
+        vis.dump_images(
+            opt.output_path, idx, "image_input",
+            np.asarray(batch_p["rgb_input_map"])[:n_valid], folder=folder,
+        )
+        vis.dump_depths(
+            opt.output_path, idx, "depth_est",
+            depth_l[:n_valid],
+            np.asarray(batch_p["mask_input_map"])[:n_valid],
+            rescale=True, folder=folder,
+        )

@@ -217,6 +217,13 @@ class RunnerBase:
 
     # -- visualizer -----------------------------------------------------------
     def setup_visualizer(self, test=False):
+        import jax
+
+        if jax.process_index() != 0:
+            # single writer: the reference logs scalars/dumps from rank 0
+            # only (shape_engine.py:283-295)
+            self.tb = None
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
 

@@ -319,6 +319,7 @@ class Runner(RunnerBase):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         bsh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
 
         def score(pred_world, gt_view):
             pred_n = eval3d.normalize_pc(pred_world)
@@ -329,7 +330,33 @@ class Runner(RunnerBase):
             f = eval3d.compute_fscore(acc_d, comp_d, thresholds)
             return acc_d.mean(axis=1), comp_d.mean(axis=1), f, pred_n, gt_n
 
-        jitted = jax.jit(score, in_shardings=(bsh, bsh))
+        # per-sample metrics replicated: every process of a multi-host run
+        # holds the full rows (reference all_gathers them,
+        # shape_engine.py:413-429); the normalized clouds stay sharded
+        jitted = jax.jit(
+            score,
+            in_shardings=(bsh, bsh),
+            out_shardings=(rep, rep, rep, bsh, bsh),
+        )
+        self._score_cache[key] = jitted
+        return jitted
+
+    def _gt_view_fn(self, batch_size, mesh, flip):
+        """Jitted GT-cloud -> view-frame transform over the eval mesh. Eager
+        jnp on the host batch would be wrong under multi-process sharding
+        (each process holds only its slice), so the transform runs as a
+        sharded program on the assembled global batch."""
+        key = ("gt_view", batch_size, self._mesh_key(mesh), bool(flip))
+        if key in self._score_cache:
+            return self._score_cache[key]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bsh = NamedSharding(mesh, P("data"))
+        jitted = jax.jit(
+            lambda pts, pose: eval3d.transform_gt_to_view(pts, pose, flip_xy=flip),
+            in_shardings=(bsh, bsh),
+            out_shardings=bsh,
+        )
         self._score_cache[key] = jitted
         return jitted
 
@@ -337,9 +364,12 @@ class Runner(RunnerBase):
         """Dense reconstruction that also returns z-averaged attention maps
         (reference computes these for the visualization subset only:
         eval_metrics(vis_only=True) -> compute_level_grid(vis_attn=True),
-        utils/eval_3D.py:47-81)."""
-        if batch_size in self._recon_attn_cache:
-            return self._recon_attn_cache[batch_size]
+        utils/eval_3D.py:47-81). Runs on the default device (viz is
+        batch-1, process-local); the cache is keyed on that device like its
+        mesh-keyed siblings so a device change cannot serve a stale program."""
+        cache_key = (batch_size, jax.devices()[0].id)
+        if cache_key in self._recon_attn_cache:
+            return self._recon_attn_cache[cache_key]
         opt = self.opt
         vox = opt.eval.vox_res
         lo, hi = opt.eval.range
@@ -374,18 +404,29 @@ class Runner(RunnerBase):
             world = pts / S * (hi - lo) + lo
             return out, level, world, attn_xy
 
-        self._recon_attn_cache[batch_size] = recon
+        self._recon_attn_cache[cache_key] = recon
         return recon
 
-    def _brute_force_fn(self, batch_size, mesh=None):
+    def _brute_force_fn(self, batch_size, mesh=None, training=True):
         """Batched, mesh-sharded brute-force alignment (replaces the per-
-        sample Python loop; reference protocol eval_3D.py:140-170)."""
+        sample Python loop; reference protocol eval_3D.py:140-170).
+
+        Posture matches the decode path (`hier_final`): *final* metric runs
+        (``training=False``) use the exact exhaustive search by default —
+        every rotation scored with the full fp32 Chamfer, exactly the
+        reference protocol — while in-training validation keeps the
+        coarse-to-fine pruning (~27x less NN work; selection identical on
+        every tested field, but unproven as a statistical bound). Setting
+        ``eval.bf_prune`` explicitly applies that pruning everywhere.
+        """
         mesh = mesh or self._eval_mesh(batch_size)
-        key = (batch_size, self._mesh_key(mesh))
+        key = (batch_size, bool(training), self._mesh_key(mesh))
         if key in self._bf_cache:
             return self._bf_cache[key]
         opt = self.opt
-        prune = opt.eval.get("bf_prune", (1024, 128))
+        prune = opt.eval.get("bf_prune")
+        if prune is None and training:
+            prune = (1024, 128)
         fn = eval3d.make_brute_force_batch(
             mesh=mesh,
             thresholds=tuple(opt.eval.f_thresholds),
@@ -490,14 +531,33 @@ class Runner(RunnerBase):
 
     # -- evaluation ----------------------------------------------------------------
     def evaluate(self, ep, training=False):
+        """Test-set evaluation (reference shape_engine.py:335-515).
+
+        Multi-process-correct by construction: each process's loader yields
+        its contiguous slice of every global batch (uneven tails are padded
+        to the full global batch so valid samples form a global prefix),
+        ``shard_batch`` assembles the true global batch on the mesh, and
+        per-sample metrics come back replicated (the reference's all_gather,
+        shape_engine.py:413-429) so every process computes identical global
+        summaries. Artifact dumps cover each process's own rows; result
+        files are written by process 0.
+        """
         opt = self.opt
         eval_bs = opt.eval.batch_size
-        recon = self._recon_fn(eval_bs, training=training)
-        score = self._score_fn(eval_bs)
+        n_proc = jax.process_count()
+        is_main = jax.process_index() == 0
+        local_bs = eval_bs // max(n_proc, 1)
+        mesh = self._eval_mesh(eval_bs)
+        recon = self._recon_fn(eval_bs, mesh=mesh, training=training)
+        score = self._score_fn(eval_bs, mesh=mesh)
+        flip = opt.data.dataset_test == "pix3d"
+        gt_view_fn = self._gt_view_fn(eval_bs, mesh, flip)
+        from zeroshape_tpu.parallel.mesh import replicate_to_host
+
         metric_logger = MetricLogger(delimiter="  ")
-        cd_accs, cd_comps, f_scores, cat_indices, indices = [], [], [], [], []
+        cd_accs, cd_comps, f_scores, cat_indices = [], [], [], []
         results_file = None
-        if not training:
+        if not training and is_main:
             results_file = open(
                 os.path.join(
                     opt.output_path, f"{opt.data.dataset_test}_full_results.txt"
@@ -511,35 +571,56 @@ class Runner(RunnerBase):
                 )
             )
 
-        flip = opt.data.dataset_test == "pix3d"
+        N = len(self.test_data)
         import time as _time
 
         t_prev = _time.perf_counter()
         for it, batch in enumerate(self.test_loader):
-            B0 = batch["rgb_input_map"].shape[0]
-            batch_p = _pad_batch(batch, eval_bs)
+            # valid rows of this GLOBAL batch: the loader walks the dataset
+            # in order, so batch `it` covers rows [it*eval_bs, ...) and
+            # everything past N is padding (loader repeats for multi-process
+            # tails, _pad_batch for single-process ones)
+            B0 = min(eval_bs, N - it * eval_bs)
+            batch_p = _pad_batch(batch, local_bs)
+            dev = shard_batch(
+                {
+                    **model_batch(batch_p),
+                    "dpc_points": np.asarray(
+                        batch_p["dpc"]["points"], np.float32
+                    ),
+                    "idx": np.asarray(batch_p["idx"], np.int32),
+                    "category_label": np.asarray(
+                        batch_p["category_label"], np.int32
+                    ),
+                },
+                mesh,
+            )
             key = jax.random.fold_in(jax.random.PRNGKey(7), it)
-            out, level, pred_world = recon(
-                self.variables(), model_batch(batch_p), key
-            )
-            self._check_hier_overflow(out, training)
-            gt_view = eval3d.transform_gt_to_view(
-                jnp.asarray(batch_p["dpc"]["points"]),
-                jnp.asarray(batch_p["pose_gt"]),
-                flip_xy=flip,
-            )
+            out, level, pred_world = recon(self.variables(), model_batch(dev), key)
+            gt_view = gt_view_fn(dev["dpc_points"], dev["pose_gt"])
             if opt.eval.get("brute_force"):
-                res = self._brute_force_fn(eval_bs)(pred_world, gt_view)
+                res = self._brute_force_fn(eval_bs, mesh=mesh, training=training)(
+                    pred_world, gt_view
+                )
                 accs, comps, fs = res["acc"], res["comp"], res["f_score"]
                 pred_n, gt_n = res["pc_pred"], res["pc_gt"]
             else:
                 accs, comps, fs, pred_n, gt_n = score(pred_world, gt_view)
-            accs, comps, fs = (np.asarray(x) for x in (accs, comps, fs))
+            # one host transfer for everything small; under multi-process it
+            # is the metric all-gather (replicate_to_host)
+            small = {
+                "acc": accs, "comp": comps, "f": fs,
+                "idx": dev["idx"], "cat": dev["category_label"],
+            }
+            if "hier_n_active" in out:
+                small["hier_n_active"] = out["hier_n_active"]
+            small = replicate_to_host(small, mesh)
+            self._check_hier_overflow(small, training)
+            accs, comps, fs = small["acc"], small["comp"], small["f"]
             cd_accs.append(accs[:B0])
             cd_comps.append(comps[:B0])
             f_scores.append(fs[:B0])
-            cat_indices.append(np.asarray(batch["category_label"])[:B0])
-            indices.append(np.asarray(batch["idx"])[:B0])
+            cat_indices.append(small["cat"][:B0])
             t_now = _time.perf_counter()
             metric_logger.update(
                 ACC=accs[:B0].mean(), COMP=comps[:B0].mean(),
@@ -555,7 +636,7 @@ class Runner(RunnerBase):
                 for b in range(B0):
                     results_file.write(
                         "\n{:d}\t{:.4f}\t{:.4f}\t{:.4f}\t".format(
-                            int(batch["idx"][b]),
+                            int(small["idx"][b]),
                             (accs[b] + comps[b]) / 2,
                             accs[b],
                             comps[b],
@@ -563,15 +644,16 @@ class Runner(RunnerBase):
                         + "\t".join(f"{fs[b][i]:.4f}" for i in range(fs.shape[1]))
                     )
                 results_file.flush()
-                self.dump_results(batch, out, level, pred_n, gt_n, ep, B0)
-            if it == 0 and training:
+            if not training:
+                self._dump_eval_batch(batch_p, out, level, pred_n, gt_n, ep, B0)
+            if it == 0 and training and is_main:
                 self._dump_viz(ep)
 
         cd_accs = np.concatenate(cd_accs)
         cd_comps = np.concatenate(cd_comps)
         f_scores = np.concatenate(f_scores)
         cat_indices = np.concatenate(cat_indices)
-        assert cd_accs.shape[0] == len(self.test_data)
+        assert cd_accs.shape[0] == N
         if results_file is not None:
             results_file.close()
 
@@ -581,9 +663,38 @@ class Runner(RunnerBase):
         if training:
             self.log_scalar("eval/dist_acc", dist_acc, ep)
             self.log_scalar("eval/dist_cov", dist_cov, ep)
-        else:
+        elif is_main:
             self._write_summaries(cd_accs, cd_comps, f_scores, cat_indices, val_metric)
         return float(val_metric)
+
+    def _dump_eval_batch(self, batch_p, out, level, pred_n, gt_n, ep, B0):
+        """Per-sample artifact dumps for a final-eval batch.
+
+        Single-process: everything is addressable — dump the valid prefix.
+        Multi-process: big outputs stay sharded; each process extracts its
+        own contiguous row block and dumps the rows that fall inside the
+        valid global prefix (the reference dumps per rank the same way,
+        shape_engine.py:379-387).
+        """
+        if jax.process_count() == 1:
+            self.dump_results(batch_p, out, level, pred_n, gt_n, ep, B0)
+            return
+        from zeroshape_tpu.parallel.mesh import addressable_rows
+
+        row0, level_l = addressable_rows(level)
+        _, pred_l = addressable_rows(pred_n)
+        _, gt_l = addressable_rows(gt_n)
+        out_l = {}
+        for k, v in out.items():
+            if (
+                hasattr(v, "addressable_shards")
+                and getattr(v, "ndim", 0) >= 1
+                and v.shape[0] == level.shape[0]
+            ):
+                out_l[k] = addressable_rows(v)[1]
+        n_valid = int(np.clip(B0 - row0, 0, level_l.shape[0]))
+        if n_valid > 0:
+            self.dump_results(batch_p, out_l, level_l, pred_l, gt_l, ep, n_valid)
 
     def _write_summaries(self, cd_accs, cd_comps, f_scores, cat_indices, val_metric):
         opt = self.opt
@@ -640,10 +751,24 @@ class Runner(RunnerBase):
         S = opt.eval.vox_res + 1
         meshes = [(v / S * (hi - lo) + lo, f) for v, f in meshes]
         vis.dump_meshes(opt.output_path, idx, "mesh", meshes, folder=folder)
-        if opt.eval.get("dump_mesh_viz"):
-            # turntable GIFs per sample (reference dumps these for every eval
-            # sample; the matplotlib renderer is slow, so it's opt-in here)
-            vis.dump_meshes_viz(opt.output_path, idx, "mesh_viz", meshes, folder=folder)
+        # turntable GIFs (reference dumps one per eval sample through
+        # pyrender, shape_engine.py:579 -> util_vis.py:348-405). The
+        # matplotlib renderer here is much slower, so final eval defaults to
+        # the samples the HTML gallery shows (every 10th, matching
+        # create_gif_html's skip_every=10); eval.dump_mesh_viz=True forces
+        # every sample, False disables (documented in docs/PARITY.md).
+        dump_viz = opt.eval.get("dump_mesh_viz")
+        if dump_viz is None and not train:
+            sel = [b for b in range(B0) if int(idx[b]) % 10 == 0]
+        elif dump_viz:
+            sel = list(range(B0))
+        else:
+            sel = []
+        if sel:
+            vis.dump_meshes_viz(
+                opt.output_path, idx[sel], "mesh_viz",
+                [meshes[b] for b in sel], folder=folder,
+            )
         if "depth_pred" in out:
             vis.dump_depths(
                 opt.output_path, idx, "depth_est",
@@ -665,17 +790,19 @@ class Runner(RunnerBase):
         """
         opt = self.opt
         k = opt.eval.batch_size
-        if batch["rgb_input_map"].shape[0] < k:
+        n_proc = jax.process_count()
+        k_local = k // max(n_proc, 1)
+        if k_local == 0 or batch["rgb_input_map"].shape[0] < k_local:
             return
-        sub = {key: batch[key][:k] for key in MODEL_KEYS if key in batch}
-        recon = self._recon_fn(k, training=True)
+        mesh = self._eval_mesh(k)
+        sub = {key: batch[key][:k_local] for key in MODEL_KEYS if key in batch}
+        sub["dpc_points"] = np.asarray(batch["dpc"]["points"][:k_local], np.float32)
+        dev = shard_batch(sub, mesh)
+        recon = self._recon_fn(k, mesh=mesh, training=True)
         key = jax.random.fold_in(jax.random.PRNGKey(13), it)
-        out, level, pred_world = recon(self.variables(), sub, key)
-        gt_view = eval3d.transform_gt_to_view(
-            jnp.asarray(batch["dpc"]["points"][:k]),
-            jnp.asarray(batch["pose_gt"][:k]),
-        )
-        accs, comps, _, _, _ = self._score_fn(opt.eval.batch_size)(pred_world, gt_view)
+        out, level, pred_world = recon(self.variables(), model_batch(dev), key)
+        gt_view = self._gt_view_fn(k, mesh, flip=False)(dev["dpc_points"], dev["pose_gt"])
+        accs, comps, _, _, _ = self._score_fn(k, mesh=mesh)(pred_world, gt_view)
         self.log_scalar("train/dist_acc", float(np.mean(np.asarray(accs))), it)
         self.log_scalar("train/dist_cov", float(np.mean(np.asarray(comps))), it)
 
@@ -759,8 +886,8 @@ class Runner(RunnerBase):
 
     def vis_train_iter(self):
         """Periodic training-time viz dumps into vis_log/iter_{it}
-        (reference shape_engine.py:290-291, 299-318)."""
-        if not self.viz_data:
+        (reference shape_engine.py:290-291, 299-318; rank 0 only)."""
+        if not self.viz_data or jax.process_index() != 0:
             return
         self._dump_viz_samples(os.path.join("vis_log", f"iter_{self.it}"), self.ep)
 
