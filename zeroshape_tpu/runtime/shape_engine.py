@@ -463,19 +463,14 @@ class Runner(RunnerBase):
         self.train_loader.set_epoch(self.ep)
         log_print(f"training epoch {self.ep + 1}")
         profiling = opt.get("debug") and opt.get("profile")
-        if profiling:
-            os.makedirs("debug/profiler_log", exist_ok=True)
-            jax.profiler.start_trace("debug/profiler_log")
         self._reset_step_clock()  # don't charge epoch setup/eval to s_it
         for batch in self.train_loader:
             if self.iter_skip > 0:
                 self.iter_skip -= 1
                 continue
+            if profiling:
+                self._profiler_schedule()
             self.train_iteration(batch)
-            if profiling and self.it >= 16:
-                jax.profiler.stop_trace()
-                log_print("profiler trace written to debug/profiler_log; exiting")
-                raise SystemExit(0)
         self._flush_loss_buf()
         if (self.ep + 1) % opt.freq.eval == 0:
             log_print(f"validating epoch {self.ep + 1}")
@@ -484,6 +479,36 @@ class Runner(RunnerBase):
                 self.best_val = current_val
                 self.best_ep = self.ep + 1
                 self.save_checkpoint(ep=self.ep, it=self.it, best=True, latest=True)
+
+    # profiler schedule: wait 3, warmup 3, active 5, repeat 2 — the
+    # reference's torch.profiler schedule (shape_engine.py:201-224). Each
+    # active window lands in its own subdirectory of debug/profiler_log so
+    # the two traces are separately loadable; the run exits after window 2.
+    PROFILE_WAIT, PROFILE_WARMUP, PROFILE_ACTIVE, PROFILE_REPEAT = 3, 3, 5, 2
+
+    def _profiler_schedule(self):
+        cycle = self.PROFILE_WAIT + self.PROFILE_WARMUP + self.PROFILE_ACTIVE
+        step = getattr(self, "_prof_step", 0)
+        self._prof_step = step + 1
+        window, phase = divmod(step, cycle)
+        if window >= self.PROFILE_REPEAT:
+            if getattr(self, "_prof_tracing", False):
+                jax.profiler.stop_trace()
+            log_print("profiler traces written to debug/profiler_log; exiting")
+            raise SystemExit(0)
+        if phase == self.PROFILE_WAIT + self.PROFILE_WARMUP:
+            # warmup steps ran untraced (backend paging/compile settles);
+            # the active window starts now
+            self._flush_loss_buf()  # drain queued work out of the window
+            logdir = os.path.join("debug", "profiler_log", f"window_{window}")
+            os.makedirs(logdir, exist_ok=True)
+            jax.profiler.start_trace(logdir)
+            self._prof_tracing = True
+        elif phase == 0 and getattr(self, "_prof_tracing", False):
+            self._flush_loss_buf()  # the traced steps must complete in-window
+            jax.profiler.stop_trace()
+            self._prof_tracing = False
+            log_print(f"profiler window {window - 1} captured")
 
     def train_iteration(self, batch):
         opt = self.opt
