@@ -57,6 +57,53 @@ def test_compute_scale_and_shift_exact_affine():
     np.testing.assert_allclose(float(t[0]), 0.5, rtol=1e-3)
 
 
+def test_masked_median_bisection_matches_sort_exactly():
+    """The 32-step bit-space bisection must return the EXACT lower median
+    (an actual row element), bit-identical to the full-sort formulation,
+    on adversarial inputs: duplicates, negatives, zeros, tiny/huge values,
+    even/odd counts, empty and single-element rows."""
+    import numpy as np
+
+    from zeroshape_tpu import losses
+
+    rng = np.random.default_rng(0)
+    cases = []
+    x = rng.normal(size=(8, 257)).astype(np.float32) * rng.choice(
+        [1e-6, 1.0, 1e6], size=(8, 1)
+    ).astype(np.float32)
+    m = rng.uniform(size=(8, 257)) > 0.3
+    cases.append((x, m))
+    # heavy duplicates + negatives + exact zeros
+    x2 = rng.choice([-2.0, -0.0, 0.0, 0.5, 3.0], size=(4, 64)).astype(np.float32)
+    m2 = rng.uniform(size=(4, 64)) > 0.2
+    cases.append((x2, m2))
+    # empty row, single-element row, full row
+    x3 = rng.normal(size=(3, 16)).astype(np.float32)
+    m3 = np.zeros((3, 16), bool)
+    m3[1, 7] = True
+    m3[2, :] = True
+    cases.append((x3, m3))
+    for x, m in cases:
+        ref = np.asarray(losses._masked_median_sort(jnp.asarray(x), jnp.asarray(m)))
+        got = np.asarray(losses._masked_median(jnp.asarray(x), jnp.asarray(m)))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_masked_median_gradient_routes_to_median_element():
+    """d/dx median(x) is 1 on the (lower-)median element, 0 elsewhere —
+    torch.nanmedian's subgradient, which the reference loss backprops
+    through (midas_loss.py:34-61)."""
+    import jax
+    import numpy as np
+
+    from zeroshape_tpu import losses
+
+    x = jnp.asarray([[3.0, 1.0, 7.0, 5.0, 9.0]])
+    m = jnp.ones((1, 5), bool)
+    g = jax.grad(lambda v: losses._masked_median(v, m).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), [[0, 0, 0, 1.0, 0]])  # median=5
+
+
 def test_midas_loss_zero_for_identical_aligned():
     # pred is an affine transform of target => ssi term ~0, grad term ~0
     rng = np.random.default_rng(3)

@@ -51,11 +51,8 @@ def intr_loss(seen_pred, seen_gt, mask):
 # MiDaS scale-shift-invariant depth loss — reference model/depth/midas_loss.py
 # ---------------------------------------------------------------------------
 
-def _masked_median(x_flat, mask_flat):
-    """Lower median of masked elements per row; 0 when the row is empty.
-
-    x_flat, mask_flat: [B, N]. Matches torch.nanmedian's lower-median choice.
-    """
+def _masked_median_sort(x_flat, mask_flat):
+    """Lower median via full sort (the straightforward formulation)."""
     big = jnp.asarray(jnp.finfo(x_flat.dtype).max, x_flat.dtype)
     x_m = jnp.where(mask_flat, x_flat, big)
     x_sorted = jnp.sort(x_m, axis=-1)
@@ -63,6 +60,54 @@ def _masked_median(x_flat, mask_flat):
     idx = jnp.maximum((count - 1) // 2, 0)
     med = jnp.take_along_axis(x_sorted, idx[:, None], axis=-1)[:, 0]
     return jnp.where(count > 0, med, 0.0)
+
+
+def _masked_median(x_flat, mask_flat):
+    """Lower median of masked elements per row; 0 when the row is empty.
+
+    x_flat, mask_flat: [B, N] (fp32 values). Matches torch.nanmedian's
+    lower-median choice, EXACTLY (returns an element of the row).
+
+    TPU-shape of the selection: instead of a full per-row sort (XLA's TPU
+    sort is a many-pass bitonic network — the single most expensive op in
+    the MiDaS loss), the k-th smallest element is found by a 32-step binary
+    search over the IEEE-754 bit space. Float order embeds into uint32 order
+    via the standard sign-fold (non-negatives: set the top bit; negatives:
+    bitwise NOT), so each step is one masked compare+count over the row —
+    32 sequential elementwise passes instead of hundreds of shuffle passes,
+    and the backward is free (the median is piecewise-constant in all but
+    one element; gradients flow through the `==`-gather below).
+    """
+    x32 = x_flat.astype(jnp.float32)
+    u = jax.lax.bitcast_convert_type(x32, jnp.int32)
+    key = jnp.where(u < 0, ~u, u ^ jnp.int32(-(2**31)))
+    key = jax.lax.bitcast_convert_type(key, jnp.uint32)
+    key = jnp.where(mask_flat, key, jnp.uint32(0xFFFFFFFF))  # invalid -> top
+    count = jnp.sum(mask_flat, axis=-1).astype(jnp.int32)  # [B]
+    k = jnp.maximum((count - 1) // 2, 0)  # lower-median rank
+
+    def step(carry, _):
+        lo, hi = carry  # [B] uint32, invariant lo <= answer <= hi
+        mid = lo + (hi - lo) // 2
+        c = jnp.sum((key <= mid[:, None]).astype(jnp.int32), axis=-1)
+        left = c >= k + 1
+        return (jnp.where(left, lo, mid + 1), jnp.where(left, mid, hi)), None
+
+    B = x_flat.shape[0]
+    lo0 = jnp.zeros((B,), jnp.uint32)
+    hi0 = jnp.full((B,), 0xFFFFFFFF, jnp.uint32)
+    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), None, length=32)
+    med_key = jax.lax.bitcast_convert_type(hi, jnp.int32)
+    u_med = jnp.where(med_key < 0, med_key ^ jnp.int32(-(2**31)), ~med_key)
+    med = jax.lax.bitcast_convert_type(u_med, jnp.float32)
+    med = jax.lax.stop_gradient(med)
+    # route the gradient through the selected element (the median is an
+    # actual row element; ties share the subgradient like a masked mean)
+    is_med = mask_flat & (x32 == med[:, None])
+    n_med = jnp.maximum(jnp.sum(is_med, axis=-1), 1)
+    med_grad = jnp.sum(jnp.where(is_med, x32, 0.0), axis=-1) / n_med
+    med = med_grad + jax.lax.stop_gradient(med - med_grad)
+    return jnp.where(count > 0, med, 0.0).astype(x_flat.dtype)
 
 
 def masked_shift_and_scale(depth_pred, depth_gt, mask_valid):
