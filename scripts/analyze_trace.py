@@ -102,6 +102,90 @@ def main():
             f" [{lane[:28]}] {name[:110]}"
         )
 
+    summarize_device_ops(events, pid_names, tid_names)
+
+
+# map a JAX tf_op path (source attribution XLA carries per op) to a model
+# segment; BASELINE.md's per-step segment table comes from this
+_SEGMENTS = (
+    ("dpt_depth", "DPT depth net"),
+    ("coord_encoder", "coord encoder"),
+    ("impl_network.decode", "implicit decode"),
+    ("impl_network.encode", "implicit encode"),
+    ("intr_", "intr head"),
+    ("loss", "losses"),
+)
+
+
+def summarize_device_ops(events, pid_names, tid_names):
+    """Aggregate the device 'XLA Ops' lane by model segment (via each op's
+    ``tf_op`` source path) and by HLO category; also print the Steps lane so
+    device-busy time can be compared against per-step wall."""
+    ops, steps, mods = [], [], []
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if "/device:" not in pid_names.get(e.get("pid"), ""):
+            continue
+        lane = tid_names.get((e.get("pid"), e.get("tid")), "")
+        if lane == "XLA Ops":
+            ops.append(e)
+        elif lane == "Steps":
+            steps.append(e)
+        elif lane == "XLA Modules":
+            mods.append(e)
+    if not ops:
+        return
+    # the Steps lane carries one marker per host iteration; only the ones
+    # with real device work (>1 ms) are train steps
+    walls = sorted(s["dur"] / 1e3 for s in steps if s.get("dur", 0) > 1e3)
+    if walls:
+        med = walls[len(walls) // 2]
+        print(f"\nSteps lane: {len(walls)} non-empty steps, "
+              f"median wall {med:.1f} ms (min {walls[0]:.1f}, max {walls[-1]:.1f})")
+    # per-step divisor: executions of the dominant XLA module (the train
+    # step); the Steps lane double-counts (it also marks host-iteration spans)
+    mod_dur = defaultdict(float)
+    mod_cnt = defaultdict(int)
+    for m in mods:
+        base = m["name"].split("(")[0]
+        mod_dur[base] += m["dur"]
+        mod_cnt[base] += 1
+    n_steps = 0
+    if mod_dur:
+        top = max(mod_dur, key=mod_dur.get)
+        n_steps = mod_cnt[top]
+        print(f"dominant module: {top} x{n_steps} "
+              f"({mod_dur[top]/n_steps/1e3:.1f} ms/execution)")
+
+    def segment(tf):
+        d = "bwd" if "transpose(jvp" in tf else "fwd"
+        for pat, lab in _SEGMENTS:
+            if pat in tf:
+                return f"{lab} ({d})"
+        return f"other ({d})"
+
+    seg_dur = defaultdict(float)
+    cat_dur = defaultdict(float)
+    tagged = 0.0
+    total = 0.0
+    for o in ops:
+        total += o["dur"]
+        args = o.get("args", {})
+        cat_dur[args.get("hlo_category", "?")] += o["dur"]
+        tf = args.get("tf_op", "")
+        if tf:
+            seg_dur[segment(tf)] += o["dur"]
+            tagged += o["dur"]
+    n = max(n_steps, 1)
+    print(f"\ndevice XLA-op time by model segment (per step over {n} steps; "
+          f"{(total - tagged)/1e3:.1f} ms untagged):")
+    for k, v in sorted(seg_dur.items(), key=lambda kv: -kv[1]):
+        print(f"  {v/n/1e3:8.2f} ms/step  {100*v/max(tagged,1):5.1f}%  {k}")
+    print("\ndevice XLA-op time by HLO category:")
+    for k, v in sorted(cat_dur.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"  {v/n/1e3:8.2f} ms/step  {k}")
+
 
 if __name__ == "__main__":
     main()
