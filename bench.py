@@ -79,7 +79,7 @@ def _real_sample(H):
         return None
 
 
-def build(use_fused=None, attn_mode="blockdiag", tile=512):
+def build(use_fused=None, attn_mode="grouped", tile=512):
     from zeroshape_tpu.metrics import eval3d
     from zeroshape_tpu.models.graph_shape import ShapeGraph
     from zeroshape_tpu.ops.marching_cubes import sample_surface_points_cells

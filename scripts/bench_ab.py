@@ -19,9 +19,11 @@ import bench
 
 
 VARIANTS = {
-    # name -> bench.build kwargs
+    # name -> bench.build kwargs ("fused" tracks the shipped default layout,
+    # grouped since the round-4 A/B; the -blockdiag/-grouped names pin one)
     "xla": dict(use_fused=False),
     "fused": dict(use_fused=True),
+    "fused-blockdiag": dict(use_fused=True, attn_mode="blockdiag", tile=512),
     "fused-grouped": dict(use_fused=True, attn_mode="grouped", tile=512),
 }
 

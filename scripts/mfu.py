@@ -79,34 +79,16 @@ def _time_calls(fn, args, reps, warmup=10):
     return float(np.median(times))
 
 
-def mfu_train(reps):
-    from __graft_entry__ import _batch, _full_opt
-    from zeroshape_tpu.models import graph_shape
-    from zeroshape_tpu.models.graph_shape import ShapeGraph
-    from zeroshape_tpu.parallel import train as ptrain
-    from zeroshape_tpu.parallel.mesh import make_mesh, shard_batch
-
-    B = 28
-    opt = _full_opt()
-    model = ShapeGraph.from_opt(opt, dtype=jnp.bfloat16)
-    mesh = make_mesh(1)
-    batch = _batch(B=B, H=opt.H, n_pts=opt.training.n_sdf_points)
-    state = ptrain.create_train_state(model, opt, batch, jax.random.PRNGKey(0))
-    step = ptrain.make_train_step(model, opt, graph_shape.compute_loss, mesh)
-    sharded = shard_batch(batch, mesh)
-    key = jax.random.PRNGKey(2)
-
-    # ONE compile serves both the FLOP count and the timed calls (AOT)
+def _mfu_step(name, step, state, sharded, key, reps, B):
+    """AOT-compile a train step, read its FLOPs, time 10-step chained windows."""
     t0 = time.perf_counter()
     compiled = step.lower(state, sharded, key).compile()
-    print(f"train compile: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
+    print(f"{name} compile: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
     flops, src = _cost_flops_compiled(compiled)
     if flops is None:
-
-        def pure(state, batch, key):
-            return step(state, batch, key)
-
-        flops, src = _flops_fallback_cpu(pure, state, batch, key)
+        flops, src = _flops_fallback_cpu(
+            lambda s, b, k: step(s, b, k), state, sharded, key
+        )
 
     # timing: chain steps through the returned state (the production loop)
     state, metrics = compiled(state, sharded, key)
@@ -125,7 +107,7 @@ def mfu_train(reps):
         times.append((time.perf_counter() - t0) / 10)
     t = float(np.median(times))
     return {
-        "name": f"train_step_b{B}",
+        "name": name,
         "flops": flops,
         "flops_source": src,
         "seconds": t,
@@ -133,6 +115,50 @@ def mfu_train(reps):
         "mfu_pct_v5e_bf16": 100 * flops / t / V5E_PEAK_FLOPS,
         "img_per_s": B / t,
     }
+
+
+def mfu_train(reps):
+    from __graft_entry__ import _batch, _full_opt
+    from zeroshape_tpu.models import graph_shape
+    from zeroshape_tpu.models.graph_shape import ShapeGraph
+    from zeroshape_tpu.parallel import train as ptrain
+    from zeroshape_tpu.parallel.mesh import make_mesh, shard_batch
+
+    B = 28
+    opt = _full_opt()
+    model = ShapeGraph.from_opt(opt, dtype=jnp.bfloat16)
+    mesh = make_mesh(1)
+    batch = _batch(B=B, H=opt.H, n_pts=opt.training.n_sdf_points)
+    state = ptrain.create_train_state(model, opt, batch, jax.random.PRNGKey(0))
+    step = ptrain.make_train_step(model, opt, graph_shape.compute_loss, mesh)
+    sharded = shard_batch(batch, mesh)
+    return _mfu_step(
+        f"train_step_b{B}", step, state, sharded, jax.random.PRNGKey(2), reps, B
+    )
+
+
+def mfu_depth(reps):
+    """Depth-pretrain step at the reference batch (options/depth.yaml:5,9:
+    batch 44, loss weights depth 1 / intr 10)."""
+    from __graft_entry__ import _batch, _full_opt
+    from zeroshape_tpu.models import graph_depth
+    from zeroshape_tpu.models.graph_depth import DepthGraph
+    from zeroshape_tpu.parallel import train as ptrain
+    from zeroshape_tpu.parallel.mesh import make_mesh, shard_batch
+    from zeroshape_tpu.runtime.depth_engine import model_batch
+
+    B = int(os.environ.get("MFU_DEPTH_B", "44"))
+    opt = _full_opt().unfrozen_copy()
+    opt.loss_weight.update({"shape": None, "depth": 1, "intr": 10})
+    model = DepthGraph.from_opt(opt, dtype=jnp.bfloat16)
+    mesh = make_mesh(1)
+    batch = model_batch(_batch(B=B, H=opt.H, n_pts=16))
+    state = ptrain.create_train_state(model, opt, batch, jax.random.PRNGKey(0))
+    step = ptrain.make_train_step(model, opt, graph_depth.compute_loss, mesh)
+    sharded = shard_batch(batch, mesh)
+    return _mfu_step(
+        f"depth_step_b{B}", step, state, sharded, jax.random.PRNGKey(2), reps, B
+    )
 
 
 def mfu_recon(reps):
@@ -167,6 +193,8 @@ def main():
     rows = []
     if what in ("train", "all"):
         rows.append(mfu_train(reps))
+    if what in ("depth", "all"):
+        rows.append(mfu_depth(reps))
     if what in ("recon", "all"):
         rows.append(mfu_recon(reps))
     for r in rows:

@@ -325,3 +325,40 @@ def test_synthetic_sdf_subsample_deterministic(tmp_path):
     a.set_epoch(1)
     a3 = a[0]
     assert not np.array_equal(ia[0]["gt_sample_points"], a3["gt_sample_points"])
+
+
+def test_prefetch_to_device_order_select_and_lookahead():
+    from zeroshape_tpu.parallel.mesh import prefetch_to_device
+
+    mesh = make_mesh()
+    issued = []  # batch indices whose transfer has been issued
+
+    def select(b):
+        issued.append(b["i"])
+        return {"x": b["x"]}
+
+    batches = [{"i": i, "x": np.full((8, 4), i, np.float32)} for i in range(5)]
+    out = []
+    for host, sharded in prefetch_to_device(iter(batches), mesh, select=select):
+        # lookahead: when batch i is yielded, batch i+1's transfer is already
+        # issued (except at the tail of the iterator)
+        expect = min(host["i"] + 2, len(batches))
+        assert len(issued) == expect
+        assert set(sharded.keys()) == {"x"}  # select applied
+        assert sharded["x"].sharding.is_equivalent_to(
+            shard_batch({"x": batches[0]["x"]}, mesh)["x"].sharding, ndim=2
+        )
+        out.append((host["i"], float(np.asarray(sharded["x"])[0, 0])))
+    assert out == [(i, float(i)) for i in range(5)]  # order + pairing preserved
+
+
+def test_epoch_batches_applies_resume_skip():
+    from zeroshape_tpu.runtime.engine_base import RunnerBase
+
+    r = RunnerBase.__new__(RunnerBase)
+    r.train_loader = [{"i": i} for i in range(6)]
+    r.iter_skip = 2
+    assert [b["i"] for b in r._epoch_batches()] == [2, 3, 4, 5]
+    assert r.iter_skip == 0
+    # next epoch: no skip left
+    assert [b["i"] for b in r._epoch_batches()] == [0, 1, 2, 3, 4, 5]

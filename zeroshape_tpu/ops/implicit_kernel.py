@@ -15,18 +15,25 @@ and masked inside the softmax.
 Exactness: matches models/implicit.py decode() (same masked joint softmax,
 LayerNorms in fp32, matmuls with fp32 accumulation) — asserted in tests.
 
-Attention comes in two layouts (``attn_mode``):
+Attention comes in three layouts (``attn_mode``):
 
   * ``"perhead"`` — a Python loop over heads with [T, hd] x [hd, L] score
     matmuls. hd=32 under-fills the 128-wide MXU contraction, which made the
     first version of this kernel ~1.6x slower than the XLA decode path.
-  * ``"blockdiag"`` (default) — the cached K/V are pre-arranged into
-    block-diagonal matrices K_bd [C, H*L_pad] and V_bd [H*L_pad, C] so ALL
-    heads' scores come from ONE [T, C] x [C, H*L_pad] matmul and all heads'
-    outputs from ONE [T, H*L_pad] x [H*L_pad, C] matmul. The zero blocks
-    waste 8x score FLOPs but both matmuls run at full MXU occupancy, and
-    attention FLOPs are small next to the MLP stack. Per-head softmax
-    statistics are cheap VPU slices.
+  * ``"blockdiag"`` — the cached K/V are pre-arranged into block-diagonal
+    matrices K_bd [C, H*L_pad] and V_bd [H*L_pad, C] so ALL heads' scores
+    come from ONE [T, C] x [C, H*L_pad] matmul and all heads' outputs from
+    ONE [T, H*L_pad] x [H*L_pad, C] matmul. The zero blocks waste 8x score
+    FLOPs but both matmuls run at full MXU occupancy, and attention FLOPs
+    are small next to the MLP stack. Per-head softmax statistics are cheap
+    VPU slices.
+  * ``"grouped"`` (shipped default, ``eval.fused_attn_mode``) — blockdiag
+    in groups of g=128//hd heads, so the contraction stays one MXU tile
+    deep while the zero-block waste drops from n_heads x to g x. Won the
+    end-to-end recon A/B on chip (BASELINE.md round 4: 110.4 ms vs
+    blockdiag's 115.6).
+
+All three produce bit-identical outputs (asserted in tests).
 """
 
 from __future__ import annotations

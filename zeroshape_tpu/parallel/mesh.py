@@ -86,6 +86,36 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def prefetch_to_device(iterator, mesh: Mesh, select=None, depth: int = 1):
+    """Yield ``(host_batch, sharded_batch)`` with transfers issued ``depth``
+    batches ahead.
+
+    JAX device transfers are asynchronous: issuing ``shard_batch`` for batch
+    N+1 before batch N's step runs overlaps the host→device copy with the
+    previous step's device compute. The reference gets this overlap from
+    torch DataLoader workers + ``.cuda(non_blocking)``; here the loader
+    prefetches host batches on threads and this generator extends the
+    pipeline one stage onto the device. On the tunneled single-chip backend
+    the transfer is a measurable slice of the step wall, so the overlap is
+    load-bearing, not a nicety.
+
+    ``select`` maps the host batch to the pytree that should go to the
+    device (e.g. ``model_batch``); the full host batch is yielded alongside
+    for host-side consumers (visualization, metric logging).
+    """
+    from collections import deque
+
+    if select is None:
+        select = lambda b: b
+    queue = deque()
+    for batch in iterator:
+        queue.append((batch, shard_batch(select(batch), mesh)))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def replicate_to_host(tree, mesh: Mesh):
     """Full host-numpy values of (possibly multi-process-sharded) arrays.
 

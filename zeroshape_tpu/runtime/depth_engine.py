@@ -18,7 +18,7 @@ from zeroshape_tpu.metrics.depth_metrics import compute_depth_metrics, metric_ke
 from zeroshape_tpu.models import graph_depth
 from zeroshape_tpu.models.graph_depth import DepthGraph
 from zeroshape_tpu.parallel import train as ptrain
-from zeroshape_tpu.parallel.mesh import shard_batch
+from zeroshape_tpu.parallel.mesh import prefetch_to_device, shard_batch
 from zeroshape_tpu.runtime.engine_base import RunnerBase
 from zeroshape_tpu.runtime.logging import MetricLogger, SmoothedValue, log_print
 from zeroshape_tpu.runtime.shape_engine import _pad_batch
@@ -123,11 +123,10 @@ class Runner(RunnerBase):
         self.train_loader.set_epoch(self.ep)
         log_print(f"training epoch {self.ep + 1}")
         self._reset_step_clock()  # don't charge epoch setup/eval to s_it
-        for batch in self.train_loader:
-            if self.iter_skip > 0:
-                self.iter_skip -= 1
-                continue
-            self.train_iteration(batch)
+        for batch, sharded in prefetch_to_device(
+            self._epoch_batches(), self.mesh, select=model_batch
+        ):
+            self.train_iteration(batch, sharded)
         self._flush_loss_buf()
         if (self.ep + 1) % opt.freq.eval == 0:
             current_val = self.evaluate(ep=self.ep + 1, training=True)
@@ -136,9 +135,10 @@ class Runner(RunnerBase):
                 self.best_ep = self.ep + 1
                 self.save_checkpoint(ep=self.ep, it=self.it, best=True, latest=True)
 
-    def train_iteration(self, batch):
+    def train_iteration(self, batch, sharded=None):
         opt = self.opt
-        sharded = shard_batch(model_batch(batch), self.mesh)
+        if sharded is None:
+            sharded = shard_batch(model_batch(batch), self.mesh)
         rng = jax.random.fold_in(jax.random.PRNGKey(opt.get("seed", 0) or 0), self.it)
         self.state, metrics = self.train_step(self.state, sharded, rng)
         self._note_loss(metrics)

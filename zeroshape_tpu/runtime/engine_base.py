@@ -125,6 +125,20 @@ class RunnerBase:
         eval) from the next s_it window."""
         self._flush_t0 = time.perf_counter()
 
+    def _epoch_batches(self):
+        """This epoch's host batches with the resume-replay skip applied.
+
+        Resume replays the interrupted epoch's loader order and skips the
+        already-trained prefix (reference iter_start handling,
+        model/shape_engine.py:248-258); applying the skip here keeps
+        skipped batches out of the device-prefetch pipeline.
+        """
+        for batch in self.train_loader:
+            if self.iter_skip > 0:
+                self.iter_skip -= 1
+                continue
+            yield batch
+
     # -- checkpoints ----------------------------------------------------------
     def stage_pretrained(self):
         """Load pretrained depth/intr weights into the fresh state (reference

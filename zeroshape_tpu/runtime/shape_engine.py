@@ -32,7 +32,7 @@ from zeroshape_tpu.ops.marching_cubes import (
 )
 from zeroshape_tpu.parallel import train as ptrain
 from zeroshape_tpu.parallel.mesh import pad_batch as _pad_batch
-from zeroshape_tpu.parallel.mesh import shard_batch
+from zeroshape_tpu.parallel.mesh import prefetch_to_device, shard_batch
 from zeroshape_tpu.runtime.engine_base import RunnerBase
 from zeroshape_tpu.runtime.logging import MetricLogger, SmoothedValue, log_print
 
@@ -219,7 +219,7 @@ class Runner(RunnerBase):
                 # BASELINE.md; scripts/bench_attn_modes.py). Non-default
                 # layouts need more than the 16 MiB default scoped-VMEM
                 # budget — grant what the layout uses (v5e has 128 MiB).
-                attn_mode = opt.eval.get("fused_attn_mode", "blockdiag")
+                attn_mode = opt.eval.get("fused_attn_mode", "grouped")
                 tile = int(opt.eval.get("fused_tile", 512) or 512)
                 vmem = (
                     100 * 1024 * 1024
@@ -464,13 +464,12 @@ class Runner(RunnerBase):
         log_print(f"training epoch {self.ep + 1}")
         profiling = opt.get("debug") and opt.get("profile")
         self._reset_step_clock()  # don't charge epoch setup/eval to s_it
-        for batch in self.train_loader:
-            if self.iter_skip > 0:
-                self.iter_skip -= 1
-                continue
+        for batch, sharded in prefetch_to_device(
+            self._epoch_batches(), self.mesh, select=model_batch
+        ):
             if profiling:
                 self._profiler_schedule()
-            self.train_iteration(batch)
+            self.train_iteration(batch, sharded)
         self._flush_loss_buf()
         if (self.ep + 1) % opt.freq.eval == 0:
             log_print(f"validating epoch {self.ep + 1}")
@@ -510,9 +509,10 @@ class Runner(RunnerBase):
             self._prof_tracing = False
             log_print(f"profiler window {window - 1} captured")
 
-    def train_iteration(self, batch):
+    def train_iteration(self, batch, sharded=None):
         opt = self.opt
-        sharded = shard_batch(model_batch(batch), self.mesh)
+        if sharded is None:
+            sharded = shard_batch(model_batch(batch), self.mesh)
         rng = jax.random.fold_in(jax.random.PRNGKey(opt.get("seed", 0) or 0), self.it)
         scalar_it = self.it % opt.freq.scalar == 0 and not opt.get("debug")
         step_fn = self.train_step_metrics if scalar_it else self.train_step
