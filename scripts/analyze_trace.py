@@ -31,6 +31,26 @@ def find_trace(path):
     return hits[-1]
 
 
+def self_times(evs):
+    """Per-event SELF time for one thread lane: an event's duration minus its
+    DIRECT children's (complete events nest within a lane, so summing raw
+    durations would count inner frames many times over). Returns
+    ``[(name, self_time), ...]``; grandchildren are charged to their own
+    parent, not to the outermost frame."""
+    evs = sorted(evs, key=lambda e: (e["ts"], -e["dur"]))
+    stack = []  # (end_ts, index into records of the open frame)
+    records = []  # [name, dur, child_time]
+    for e in evs:
+        ts, dur = e["ts"], e["dur"]
+        while stack and ts >= stack[-1][0] - 1e-9:
+            stack.pop()
+        if stack:
+            records[stack[-1][1]][2] += dur  # direct child of the top
+        records.append([e["name"], dur, 0.0])
+        stack.append((ts + dur, len(records) - 1))
+    return [(name, max(dur - child, 0.0)) for name, dur, child in records]
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "debug/profiler_log"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -48,9 +68,6 @@ def main():
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
 
-    # group complete events per (pid, tid) and compute SELF time: an event's
-    # duration minus its direct children's (events nest within a thread lane,
-    # so summing raw durations would count inner frames many times over)
     by_thread = defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -62,19 +79,7 @@ def main():
     op_cnt = defaultdict(int)
     for (pid, tid), evs in by_thread.items():
         lane = pid_names.get(pid, str(pid))
-        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
-        stack = []  # (end_ts, child_time_accum index into records)
-        records = []  # [name, dur, child_time]
-        for e in evs:
-            ts, dur = e["ts"], e["dur"]
-            while stack and ts >= stack[-1][0] - 1e-9:
-                stack.pop()
-            if stack:
-                records[stack[-1][1]][2] += dur  # direct child of the top
-            records.append([e["name"], dur, 0.0])
-            stack.append((ts + dur, len(records) - 1))
-        for name, dur, child in records:
-            self_t = max(dur - child, 0.0)
+        for name, self_t in self_times(evs):
             lane_dur[lane] += self_t
             key = (lane, name)
             op_dur[key] += self_t
@@ -117,6 +122,17 @@ _SEGMENTS = (
 )
 
 
+def segment(tf_op_path):
+    """Map an op's ``tf_op`` source path to ``"<model segment> (fwd|bwd)"``.
+    jax autodiff marks transposed (backward) computations with
+    ``transpose(jvp(...))`` in the scope path."""
+    d = "bwd" if "transpose(jvp" in tf_op_path else "fwd"
+    for pat, lab in _SEGMENTS:
+        if pat in tf_op_path:
+            return f"{lab} ({d})"
+    return f"other ({d})"
+
+
 def summarize_device_ops(events, pid_names, tid_names):
     """Aggregate the device 'XLA Ops' lane by model segment (via each op's
     ``tf_op`` source path) and by HLO category; also print the Steps lane so
@@ -157,13 +173,6 @@ def summarize_device_ops(events, pid_names, tid_names):
         n_steps = mod_cnt[top]
         print(f"dominant module: {top} x{n_steps} "
               f"({mod_dur[top]/n_steps/1e3:.1f} ms/execution)")
-
-    def segment(tf):
-        d = "bwd" if "transpose(jvp" in tf else "fwd"
-        for pat, lab in _SEGMENTS:
-            if pat in tf:
-                return f"{lab} ({d})"
-        return f"other ({d})"
 
     seg_dur = defaultdict(float)
     cat_dur = defaultdict(float)
