@@ -362,3 +362,28 @@ def test_epoch_batches_applies_resume_skip():
     assert r.iter_skip == 0
     # next epoch: no skip left
     assert [b["i"] for b in r._epoch_batches()] == [0, 1, 2, 3, 4, 5]
+
+
+def test_local_valid_rows_clip_invariant():
+    """The per-process valid-row clip both engines' dumpers rely on: rows
+    before B0 are valid, the repeat-padded global suffix is excluded."""
+    from types import SimpleNamespace
+
+    from zeroshape_tpu.parallel.mesh import local_valid_rows
+
+    def fake_sharded(start, rows, total_cols=3):
+        # mimic a jax.Array whose addressable shards are rows [start, start+rows)
+        data = np.arange(start * total_cols, (start + rows) * total_cols)
+        data = data.reshape(rows, total_cols).astype(np.float32)
+        shard = SimpleNamespace(index=(slice(start, start + rows),), data=data)
+        return SimpleNamespace(addressable_shards=[shard])
+
+    # process owns rows 4..8 of a 8-row global batch
+    row0, local, n = local_valid_rows(fake_sharded(4, 4), 8)  # no padding
+    assert (row0, n) == (4, 4) and local.shape == (4, 3)
+    _, _, n = local_valid_rows(fake_sharded(4, 4), 6)  # 2 padded rows
+    assert n == 2
+    _, _, n = local_valid_rows(fake_sharded(4, 4), 4)  # whole block is padding
+    assert n == 0
+    _, _, n = local_valid_rows(fake_sharded(0, 4), 2)  # first process, short B0
+    assert n == 2

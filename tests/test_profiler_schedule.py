@@ -39,3 +39,28 @@ def test_profiler_schedule_windows(monkeypatch, tmp_path):
     # start/stop alternate: window 0 closes before window 1 opens
     order = [e[0] for e in events]
     assert order == ["start", "stop", "start", "stop"]
+
+
+def test_profiler_close_flushes_open_window(monkeypatch, tmp_path):
+    """A run shorter than the schedule (trace opened, never closed by the
+    exit branch) must still write its window: _profiler_close drains queued
+    work and stops the trace exactly once."""
+    events = []
+    monkeypatch.setattr(
+        jax.profiler, "start_trace", lambda d: events.append(("start", d))
+    )
+    monkeypatch.setattr(jax.profiler, "stop_trace", lambda: events.append(("stop",)))
+    monkeypatch.chdir(tmp_path)
+
+    r = object.__new__(Runner)
+    r._loss_buf = []
+    r.it = 0
+    r.train_metric_logger = MetricLogger()
+
+    for _ in range(7):  # wait 3 + warmup 3 + first traced step: trace open
+        r._profiler_schedule()
+    assert [e[0] for e in events] == ["start"]
+    r._profiler_close()
+    assert [e[0] for e in events] == ["start", "stop"]
+    r._profiler_close()  # idempotent: nothing left open
+    assert [e[0] for e in events] == ["start", "stop"]

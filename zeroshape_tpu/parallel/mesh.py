@@ -116,6 +116,10 @@ def prefetch_to_device(iterator, mesh: Mesh, select=None, depth: int = 1):
         yield queue.popleft()
 
 
+def _gather_identity(t):
+    return t
+
+
 def replicate_to_host(tree, mesh: Mesh):
     """Full host-numpy values of (possibly multi-process-sharded) arrays.
 
@@ -128,7 +132,10 @@ def replicate_to_host(tree, mesh: Mesh):
     if jax.process_count() == 1:
         return jax.tree.map(np.asarray, tree)
     rep = replicated(mesh)
-    tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
+    # _gather_identity is module-level so jit's compilation cache (keyed on
+    # the function object + shardings + avals) hits across eval batches; a
+    # fresh lambda per call would retrace and recompile every time
+    tree = jax.jit(_gather_identity, out_shardings=rep)(tree)
     return jax.tree.map(np.asarray, tree)
 
 
@@ -153,6 +160,19 @@ def addressable_rows(x):
         stop = s_start + data.shape[0]
         blocks.append(data)
     return start, np.concatenate(blocks, axis=0)
+
+
+def local_valid_rows(x, n_valid_global: int):
+    """``(row0, local_block, n_valid_local)`` for a leading-axis-sharded
+    global array whose valid rows are the global prefix
+    ``[:n_valid_global]`` (eval tails are repeat-padded as a global suffix).
+
+    ``n_valid_local`` is how many of this process's rows fall inside the
+    valid prefix — the single place that carries the clip invariant both
+    engines' artifact dumpers rely on.
+    """
+    row0, local = addressable_rows(x)
+    return row0, local, int(np.clip(n_valid_global - row0, 0, local.shape[0]))
 
 
 def pad_to_multiple(n: int, k: int) -> int:

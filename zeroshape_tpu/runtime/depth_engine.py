@@ -297,12 +297,11 @@ class Runner(RunnerBase):
         opt = self.opt
         folder = f"dump_{opt.data.dataset_test}"
         if jax.process_count() == 1:
-            row0, depth_l = 0, np.asarray(depth_pred)
+            depth_l, n_valid = np.asarray(depth_pred), B0
         else:
-            from zeroshape_tpu.parallel.mesh import addressable_rows
+            from zeroshape_tpu.parallel.mesh import local_valid_rows
 
-            row0, depth_l = addressable_rows(depth_pred)
-        n_valid = int(np.clip(B0 - row0, 0, depth_l.shape[0]))
+            _, depth_l, n_valid = local_valid_rows(depth_pred, B0)
         if n_valid <= 0:
             return
         idx = np.asarray(batch_p["idx"])[:n_valid]

@@ -302,7 +302,17 @@ class Runner(RunnerBase):
                     lambda lv, k: sample_surface_points(lv, k, num_points)
                 )(level, keys)
             world = pts / S * (hi - lo) + lo
-            return out, level, world
+
+            # pin batch-leading outputs to the data axis: the multi-process
+            # dump path (addressable_rows) requires contiguous leading-axis
+            # shards, and GSPMD propagation is free to replicate small leaves
+            # (e.g. hier_n_active [B]) if left unconstrained
+            def pin(t):
+                if getattr(t, "ndim", 0) >= 1 and t.shape[0] == batch_size:
+                    return jax.lax.with_sharding_constraint(t, bsh)
+                return t
+
+            return jax.tree.map(pin, (out, level, world))
 
         jitted = jax.jit(recon, in_shardings=(rep, bsh, rep))
         self._recon_cache[key] = jitted
@@ -452,6 +462,7 @@ class Runner(RunnerBase):
         for self.ep in range(self.epoch_start, opt.max_epoch):
             self.train_epoch()
         self._flush_loss_buf()
+        self._profiler_close()  # a run shorter than the profile schedule
         self.save_checkpoint(ep=self.ep, it=self.it)
         if self.tb:
             self.tb.flush()
@@ -491,8 +502,7 @@ class Runner(RunnerBase):
         self._prof_step = step + 1
         window, phase = divmod(step, cycle)
         if window >= self.PROFILE_REPEAT:
-            if getattr(self, "_prof_tracing", False):
-                jax.profiler.stop_trace()
+            self._profiler_close()
             log_print("profiler traces written to debug/profiler_log; exiting")
             raise SystemExit(0)
         if phase == self.PROFILE_WAIT + self.PROFILE_WARMUP:
@@ -508,6 +518,16 @@ class Runner(RunnerBase):
             jax.profiler.stop_trace()
             self._prof_tracing = False
             log_print(f"profiler window {window - 1} captured")
+
+    def _profiler_close(self):
+        """Finish an open trace window: drain queued device work first so the
+        traced steps' execution lands inside the window, then stop. Called
+        from the schedule's exit branch and from train()'s end, so a run
+        shorter than the full schedule still writes its last window."""
+        if getattr(self, "_prof_tracing", False):
+            self._flush_loss_buf()
+            jax.profiler.stop_trace()
+            self._prof_tracing = False
 
     def train_iteration(self, batch, sharded=None):
         opt = self.opt
@@ -704,9 +724,9 @@ class Runner(RunnerBase):
         if jax.process_count() == 1:
             self.dump_results(batch_p, out, level, pred_n, gt_n, ep, B0)
             return
-        from zeroshape_tpu.parallel.mesh import addressable_rows
+        from zeroshape_tpu.parallel.mesh import addressable_rows, local_valid_rows
 
-        row0, level_l = addressable_rows(level)
+        _, level_l, n_valid = local_valid_rows(level, B0)
         _, pred_l = addressable_rows(pred_n)
         _, gt_l = addressable_rows(gt_n)
         out_l = {}
@@ -717,7 +737,6 @@ class Runner(RunnerBase):
                 and v.shape[0] == level.shape[0]
             ):
                 out_l[k] = addressable_rows(v)[1]
-        n_valid = int(np.clip(B0 - row0, 0, level_l.shape[0]))
         if n_valid > 0:
             self.dump_results(batch_p, out_l, level_l, pred_l, gt_l, ep, n_valid)
 
