@@ -11,6 +11,7 @@ Run: python scripts/analyze_trace.py [logdir_or_trace] [top_n]
      (default: debug/profiler_log, i.e. the newest window)
 """
 
+import bisect
 import glob
 import gzip
 import json
@@ -163,23 +164,41 @@ def summarize_device_ops(events, pid_names, tid_names):
     # step); the Steps lane double-counts (it also marks host-iteration spans)
     mod_dur = defaultdict(float)
     mod_cnt = defaultdict(int)
+    mod_spans = defaultdict(list)
     for m in mods:
         base = m["name"].split("(")[0]
         mod_dur[base] += m["dur"]
         mod_cnt[base] += 1
+        mod_spans[base].append((m["ts"], m["ts"] + m["dur"]))
     n_steps = 0
+    spans = []
     if mod_dur:
         top = max(mod_dur, key=mod_dur.get)
         n_steps = mod_cnt[top]
+        spans = sorted(mod_spans[top])
         print(f"dominant module: {top} x{n_steps} "
               f"({mod_dur[top]/n_steps/1e3:.1f} ms/execution)")
+
+    # per-step segment/category sums count ONLY ops executing inside the
+    # dominant module's spans: the capture window may also contain other
+    # executables (transfers, the eval/metric-step variant) whose ops would
+    # otherwise inflate the divided-by-n_steps numbers
+    starts = [s for s, _ in spans]
+
+    def in_dominant(ts):
+        i = bisect.bisect_right(starts, ts) - 1
+        return i >= 0 and ts < spans[i][1]
 
     seg_dur = defaultdict(float)
     cat_dur = defaultdict(float)
     tagged = 0.0
     total = 0.0
+    in_mod = 0.0
     for o in ops:
         total += o["dur"]
+        if spans and not in_dominant(o["ts"]):
+            continue
+        in_mod += o["dur"]
         args = o.get("args", {})
         cat_dur[args.get("hlo_category", "?")] += o["dur"]
         tf = args.get("tf_op", "")
@@ -187,8 +206,13 @@ def summarize_device_ops(events, pid_names, tid_names):
             seg_dur[segment(tf)] += o["dur"]
             tagged += o["dur"]
     n = max(n_steps, 1)
+    if spans:
+        print(f"total device op time {total/1e3:.1f} ms, of which "
+              f"{in_mod/1e3:.1f} ms inside the dominant module "
+              f"({100*in_mod/max(total,1):.1f}%); other executables excluded "
+              f"from the per-step numbers below")
     print(f"\ndevice XLA-op time by model segment (per step over {n} steps; "
-          f"{(total - tagged)/1e3:.1f} ms untagged):")
+          f"{(in_mod - tagged)/1e3:.1f} ms untagged):")
     for k, v in sorted(seg_dur.items(), key=lambda kv: -kv[1]):
         print(f"  {v/n/1e3:8.2f} ms/step  {100*v/max(tagged,1):5.1f}%  {k}")
     print("\ndevice XLA-op time by HLO category:")

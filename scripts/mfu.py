@@ -54,7 +54,14 @@ def _cost_flops(lowered):
 
 
 def _flops_fallback_cpu(fn, *args):
-    """Lower the same function for CPU to read XLA's HLO FLOP count."""
+    """Lower the same function for CPU to read XLA's HLO FLOP count.
+
+    Args are pulled to the host first: device-committed (e.g. sharded TPU)
+    arrays would steer lowering back to the device backend under
+    ``jax.default_device(cpu)`` — defeating the fallback exactly when the
+    device cost_analysis already failed.
+    """
+    args = jax.device_get(args)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         lowered = jax.jit(fn).lower(*args)

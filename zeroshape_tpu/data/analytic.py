@@ -254,62 +254,84 @@ def generate_dataset(
     n_sdf_points=20000,
     val_views=1,
     focal=1.3875,
+    holdout_objects=0,
 ):
     """Write a complete analytic synthetic-train-data tree under ``root``.
 
     Layout and file semantics follow the reference release exactly (see
     module docstring); ``data.root`` should point at ``root`` and
     ``data.synthetic.subset`` at ``subset``. The last ``val_views`` views
-    of every object go to the val list. Returns the subset directory.
+    of every train object go to the val list.
+
+    With ``holdout_objects`` > 0, that many *additional* objects (fresh
+    parameter draws from the same primitive families) are generated whose
+    views ALL go to a per-object category ``ho{i}`` val list (the matching
+    train list exists but is empty). Evaluating on those categories scores
+    objects the model never saw in training — the zero-shot protocol of the
+    reference's Pix3D/OCRTOC/OmniObject3D harness (reference
+    ``utils/eval_3D.py:104-207``) at analytic scale — while the seen-object
+    ``{category}`` val views measure the train-distribution baseline in the
+    same run (per-category rows in cd_cat.txt separate the two).
+
+    Returns the subset directory.
     """
     from PIL import Image
 
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "train_data", subset)
-    for sub in ("images_processed", "masks", "depth", "pointclouds", "gt_sdf"):
-        os.makedirs(os.path.join(base, sub, category), exist_ok=True)
-    for sub in ("intr", "extr"):
-        os.makedirs(os.path.join(base, "camera_data", sub, category), exist_ok=True)
     os.makedirs(os.path.join(base, "lists"), exist_ok=True)
 
     f = focal * H
     K = np.array([[f, 0, H / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
 
-    train_lines, val_lines = [], []
-    for o in range(n_objects):
+    lists = {}  # category -> (train_lines, val_lines)
+
+    def _cat_dirs(cat):
+        for sub in ("images_processed", "masks", "depth", "pointclouds", "gt_sdf"):
+            os.makedirs(os.path.join(base, sub, cat), exist_ok=True)
+        for sub in ("intr", "extr"):
+            os.makedirs(os.path.join(base, "camera_data", sub, cat), exist_ok=True)
+
+    for o in range(n_objects + holdout_objects):
+        held_out = o >= n_objects
+        cat = f"ho{o - n_objects}" if held_out else category
+        if cat not in lists:
+            _cat_dirs(cat)
+            lists[cat] = ([], [])
+        train_lines, val_lines = lists[cat]
         kind = SDF_KINDS[o % len(SDF_KINDS)]
         sdf, albedo = make_sdf(kind, rng)
         obj = f"{kind}{o}"
         pc = surface_points(sdf, n_pc_points, rng)
-        np.save(os.path.join(base, "pointclouds", category, f"{category}_{obj}.npy"), pc)
+        np.save(os.path.join(base, "pointclouds", cat, f"{cat}_{obj}.npy"), pc)
         pts, vals = sdf_samples(sdf, n_sdf_points, rng)
         np.save(
-            os.path.join(base, "gt_sdf", category, f"{category}_{obj}.npy"),
+            os.path.join(base, "gt_sdf", cat, f"{cat}_{obj}.npy"),
             {"sample_pt": pts, "sample_sdf": vals},
         )
         for v, cam in enumerate(_camera_ring(n_views, rng)):
             pose = look_at_pose(cam)
             rgb, depth, mask = render_scene(sdf, albedo, K, pose, H, H)
-            stem = f"{category}_{obj}_{v:03d}"
+            stem = f"{cat}_{obj}_{v:03d}"
             Image.fromarray((rgb * 255).astype(np.uint8)).save(
-                os.path.join(base, "images_processed", category, stem + ".png")
+                os.path.join(base, "images_processed", cat, stem + ".png")
             )
             Image.fromarray((mask * 255).astype(np.uint8)).save(
-                os.path.join(base, "masks", category, stem + ".png")
+                os.path.join(base, "masks", cat, stem + ".png")
             )
-            np.save(os.path.join(base, "depth", category, stem + ".npy"), depth)
+            np.save(os.path.join(base, "depth", cat, stem + ".npy"), depth)
             np.save(
-                os.path.join(base, "camera_data", "intr", category, stem + ".npy"), K
+                os.path.join(base, "camera_data", "intr", cat, stem + ".npy"), K
             )
             np.save(
-                os.path.join(base, "camera_data", "extr", category, stem + ".npy"), pose
+                os.path.join(base, "camera_data", "extr", cat, stem + ".npy"), pose
             )
-            (val_lines if v >= n_views - val_views else train_lines).append(
-                stem + ".png"
-            )
+            to_val = held_out or v >= n_views - val_views
+            (val_lines if to_val else train_lines).append(stem + ".png")
 
-    with open(os.path.join(base, "lists", f"{category}_train.list"), "w") as fh:
-        fh.write("\n".join(train_lines) + "\n")
-    with open(os.path.join(base, "lists", f"{category}_val.list"), "w") as fh:
-        fh.write("\n".join(val_lines) + "\n")
+    for cat, (train_lines, val_lines) in lists.items():
+        with open(os.path.join(base, "lists", f"{cat}_train.list"), "w") as fh:
+            fh.write("\n".join(train_lines) + "\n")
+        with open(os.path.join(base, "lists", f"{cat}_val.list"), "w") as fh:
+            fh.write("\n".join(val_lines) + "\n")
     return base
