@@ -14,6 +14,13 @@ from zeroshape_tpu.data.base import default_collate
 
 
 def main():
+    # multi-host (DCN) setup, same hook as train.py: multi-rank evaluation
+    # through the user-facing CLI (reference evaluate.py:24-38 spawns one
+    # process per device exactly like its train.py)
+    from zeroshape_tpu.parallel.mesh import init_multihost_from_env
+
+    init_multihost_from_env()
+
     opt_cmd = parse_arguments(sys.argv[1:])
     opt = set_options(opt_cmd, verbose=True, safe_check=False)
     # test-set evaluation keeps one visualization sample (reference
@@ -27,9 +34,12 @@ def main():
 
     runner = engine.Runner(opt)
     runner.load_dataset(eval_split="test", load_train=False)
-    runner.test_data.id_filename_mapping(
-        opt, os.path.join(opt.output_path, "data_list.txt")
-    )
+    import jax
+
+    if jax.process_index() == 0:  # single writer on a shared filesystem
+        runner.test_data.id_filename_mapping(
+            opt, os.path.join(opt.output_path, "data_list.txt")
+        )
     runner.build_networks()
     init_batch = default_collate([runner.test_data[0]])
     runner.setup_optimizer(init_batch)

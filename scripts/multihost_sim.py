@@ -8,9 +8,11 @@ process_count)`` — the reference's DistributedSampler role,
 reference data/base.py:11-26), global-batch assembly via
 ``jax.make_array_from_process_local_data`` (parallel/mesh.py:shard_batch),
 one SPMD train step whose gradient all-reduce crosses the process boundary,
-and a full ``Runner.evaluate`` pass whose per-sample metrics are gathered
+and a full evaluation pass through the REAL ``evaluate.py`` CLI (the
+``ZEROSHAPE_MULTIHOST`` entry hook) whose per-sample metrics are gathered
 across processes (parallel/mesh.py:replicate_to_host — the reference
-all_gathers them, model/shape_engine.py:413-429).
+all_gathers them, model/shape_engine.py:413-429, and evaluates multi-rank
+through its CLI, reference evaluate.py:24-38).
 
 Usage (from the repo root, CPU only — no TPU required):
     python scripts/multihost_sim.py            # both: train step + eval pass
@@ -111,59 +113,21 @@ def worker_train(pid: int) -> None:
     print(f"[proc {pid}] multihost step OK: loss_all={loss:.6f}", flush=True)
 
 
-def worker_eval(pid: int) -> None:
-    """Full Runner.evaluate over 2 processes: per-process loader slices, a
-    sharded recon/score program, replicated metric gather, padded-tail
-    exclusion, per-process artifact dumps, rank-0 result files."""
-    _init_dist(pid)
-    import numpy as np
+class _P:
+    """Pathlib-free stand-in for tiny_yaml's tmp_path arg."""
 
-    sys.path.insert(0, REPO)
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    from test_engine_integration import tiny_yaml
+    def __init__(self, root):
+        self.root = root
 
-    from zeroshape_tpu.config import Config, set_options
-    from zeroshape_tpu.data.base import default_collate
-    from zeroshape_tpu.runtime.shape_engine import Runner
+    def __truediv__(self, name):
+        return _P(os.path.join(self.root, name))
 
-    class _P:
-        """Pathlib-free stand-in for tiny_yaml's tmp_path arg."""
+    def write_text(self, text):
+        with open(self.root, "w") as f:
+            f.write(text)
 
-        def __init__(self, root):
-            self.root = root
-
-        def __truediv__(self, name):
-            return _P(os.path.join(self.root, name))
-
-        def write_text(self, text):
-            with open(self.root, "w") as f:
-                f.write(text)
-
-        def __str__(self):
-            return self.root
-
-    work = os.environ["MULTIHOST_SIM_WORKDIR"]  # fixture pre-generated there
-    yaml_path = tiny_yaml(_P(work), os.path.join(work, "data"))
-    opt = set_options(Config({"yaml": yaml_path}), safe_check=False)
-    opt = opt.unfrozen_copy()
-    # both meshes must span the 8 global devices in a multi-process run
-    opt.batch_size = N_PROC * DEV_PER_PROC
-    opt.eval.batch_size = N_PROC * DEV_PER_PROC
-    opt.eval.n_vis = 0
-    opt = opt.freeze()
-
-    runner = Runner(opt)
-    runner.load_dataset(load_train=False)
-    n_test = len(runner.test_data)
-    assert n_test % opt.eval.batch_size != 0, (
-        "fixture must have an uneven tail to exercise padded-row masking"
-    )
-    runner.build_networks()
-    runner.setup_optimizer(default_collate([runner.test_data[0]]))
-    runner.restore_checkpoint()
-    val = runner.evaluate(ep=0, training=False)
-    assert np.isfinite(val), val
-    print(f"[proc {pid}] multihost eval OK: n={n_test} CD={val:.6f}", flush=True)
+    def __str__(self):
+        return self.root
 
 
 def _spawn(mode: str) -> None:
@@ -171,22 +135,58 @@ def _spawn(mode: str) -> None:
     env = dict(os.environ)
     env["MULTIHOST_SIM_PORT"] = str(_port())
     if mode == "eval":
+        # the eval sim launches the REAL evaluate.py CLI per process (the
+        # reference evaluates multi-rank through its CLI, evaluate.py:24-38):
+        # the ZEROSHAPE_MULTIHOST entry hook, per-process loader slices, the
+        # sharded recon/score program, replicated metric gather, padded-tail
+        # exclusion, and rank-0 result files are all exercised end-to-end
         import tempfile
 
         work = tempfile.mkdtemp(prefix="mh_eval_")
-        env["MULTIHOST_SIM_WORKDIR"] = work
         sys.path.insert(0, REPO)
         sys.path.insert(0, os.path.join(REPO, "tests"))
-        from test_engine_integration import make_fixture_dataset
+        from test_engine_integration import make_fixture_dataset, tiny_yaml
 
         # 10 val samples -> batches of 8: one full batch + an uneven tail
         make_fixture_dataset(os.path.join(work, "data"), n_objects=10,
                              imgs_per_object=2, H=64)
+        yaml_path = tiny_yaml(_P(work), os.path.join(work, "data"))
+        env.update(
+            ZEROSHAPE_MULTIHOST="1",
+            ZEROSHAPE_COORD=f"localhost:{env['MULTIHOST_SIM_PORT']}",
+            ZEROSHAPE_NPROC=str(N_PROC),
+            ZEROSHAPE_PLATFORM="cpu",
+            ZEROSHAPE_NO_JAX_CACHE="1",
+            XLA_FLAGS=(
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={DEV_PER_PROC}"
+                + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+                + " --xla_cpu_collective_timeout_seconds=3600"
+            ).strip(),
+        )
+        B = N_PROC * DEV_PER_PROC  # both meshes span the 8 global devices
+        cmds = [
+            [
+                sys.executable, os.path.join(REPO, "evaluate.py"),
+                f"--yaml={yaml_path}", f"--batch_size={B}",
+                f"--eval.batch_size={B}",
+            ]
+            for _ in range(N_PROC)
+        ]
+    else:
+        cmds = [
+            [sys.executable, os.path.abspath(__file__), "worker", mode, str(pid)]
+            for pid in range(N_PROC)
+        ]
     for pid in range(N_PROC):
+        penv = dict(env)
+        if mode == "eval":
+            penv["ZEROSHAPE_PROCID"] = str(pid)
         procs.append(
             subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "worker", mode, str(pid)],
-                env=env,
+                cmds[pid],
+                env=penv,
+                cwd=REPO,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 text=True,
@@ -204,7 +204,7 @@ def _spawn(mode: str) -> None:
 
     signal.signal(signal.SIGTERM, _reap)
     signal.signal(signal.SIGINT, _reap)
-    token = "loss_all=" if mode == "train" else "CD="
+    token = "loss_all=" if mode == "train" else "CD. ACC:"
     vals = []
     failed = False
     for pid, p in enumerate(procs):
@@ -219,8 +219,14 @@ def _spawn(mode: str) -> None:
         if p.returncode != 0:
             failed = True
         for line in out.splitlines():
-            if token in line:
+            if token not in line:
+                continue
+            if mode == "train":
                 vals.append(float(line.split(token)[1]))
+            else:  # "... CD. ACC: <acc>, COMP: <comp>" from evaluate.py
+                acc = float(line.split("CD. ACC:")[1].split(",")[0])
+                comp = float(line.split("COMP:")[1])
+                vals.append((acc + comp) / 2)
     if failed or len(vals) != N_PROC:
         raise SystemExit(f"multihost {mode} sim FAILED")
     assert abs(vals[0] - vals[1]) < 1e-6, vals
@@ -230,7 +236,8 @@ def _spawn(mode: str) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         mode, pid = sys.argv[2], int(sys.argv[3])
-        (worker_train if mode == "train" else worker_eval)(pid)
+        assert mode == "train", "eval workers are the real evaluate.py CLI"
+        worker_train(pid)
         return
 
     modes = [sys.argv[1]] if len(sys.argv) > 1 else ["train", "eval"]

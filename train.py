@@ -43,10 +43,9 @@ def stage_omnidata_weights(opt):
 def main():
     # multi-host (DCN) setup: only when launched under a multi-process
     # coordinator; single-host multi-chip needs nothing here
-    if os.environ.get("ZEROSHAPE_MULTIHOST"):
-        import jax
+    from zeroshape_tpu.parallel.mesh import init_multihost_from_env
 
-        jax.distributed.initialize()
+    init_multihost_from_env()
 
     opt_cmd = parse_arguments(sys.argv[1:])
     opt = set_options(opt_cmd, verbose=True, safe_check=True)

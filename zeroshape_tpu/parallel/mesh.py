@@ -17,6 +17,39 @@ from typing import Optional
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost_from_env() -> bool:
+    """Initialize ``jax.distributed`` when launched under a multi-process
+    coordinator (``ZEROSHAPE_MULTIHOST=1``) — the entry-point hook shared by
+    train.py and evaluate.py (the reference evaluates multi-rank through its
+    CLI the same way it trains, reference evaluate.py:24-38, train.py:41-45).
+
+    Explicit ``ZEROSHAPE_COORD`` / ``ZEROSHAPE_NPROC`` / ``ZEROSHAPE_PROCID``
+    configure the rendezvous directly (manual launches and the 2-process CPU
+    sim, scripts/multihost_sim.py); without them jax's cluster auto-detection
+    handles the managed multi-host environments. ``ZEROSHAPE_PLATFORM`` pins
+    the backend first — env vars alone do not override an ambient TPU
+    platform registration (CLAUDE.md), so the sim sets it to ``cpu``.
+
+    Must run before anything touches the jax backend. Returns True when
+    distributed init ran.
+    """
+    import os
+
+    if os.environ.get("ZEROSHAPE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ZEROSHAPE_PLATFORM"])
+    if not os.environ.get("ZEROSHAPE_MULTIHOST"):
+        return False
+    kw = {}
+    if os.environ.get("ZEROSHAPE_COORD"):
+        kw = dict(
+            coordinator_address=os.environ["ZEROSHAPE_COORD"],
+            num_processes=int(os.environ["ZEROSHAPE_NPROC"]),
+            process_id=int(os.environ["ZEROSHAPE_PROCID"]),
+        )
+    jax.distributed.initialize(**kw)
+    return True
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
