@@ -69,6 +69,27 @@ def test_attention_frames():
     assert all(np.isfinite(f).all() for f in frames)
 
 
+def test_tb_image_honors_num_images():
+    """Grid cap + layout follow opt.tb.num_images = [num_H, num_W]
+    (reference util_vis.py:28-35: first num_H*num_W images, num_W columns)."""
+
+    class FakeTB:
+        def add_image(self, tag, grid, step, dataformats):
+            self.tag, self.grid, self.dataformats = tag, grid, dataformats
+
+    tb = FakeTB()
+    imgs = np.random.default_rng(0).uniform(size=(12, 8, 8, 3)).astype(np.float32)
+    vis.tb_image(tb, 0, "train", "x", imgs, num_images=(2, 3))
+    # 6 images kept, 3 columns x 2 rows of 8x8 tiles
+    assert tb.grid.shape == (16, 24, 3)
+    # row-major: image 3 lands at row 1, col 0
+    np.testing.assert_allclose(tb.grid[8:16, 0:8], imgs[3])
+
+    # fewer images than one row: grid shrinks to B columns
+    vis.tb_image(tb, 0, "train", "x", imgs[:2], num_images=(4, 8))
+    assert tb.grid.shape == (8, 16, 3)
+
+
 def test_ply_writers_roundtrip(tmp_path):
     verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
     faces = np.array([[0, 1, 2]], np.int32)

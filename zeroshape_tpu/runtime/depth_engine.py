@@ -187,20 +187,22 @@ class Runner(RunnerBase):
         if self.tb is None:
             return
         out = self._viz_forward(batch)
+        ni = tuple((self.opt.get("tb") or {}).get("num_images") or (4, 8))
         vis.tb_image(
             self.tb, step, "train", "image_input_map",
-            np.asarray(batch["rgb_input_map"]),
+            np.asarray(batch["rgb_input_map"]), num_images=ni,
         )
         vis.tb_image(
             self.tb, step, "train", "mask_input_map",
-            np.asarray(batch["mask_input_map"]),
+            np.asarray(batch["mask_input_map"]), num_images=ni,
         )
         vis.tb_image(
-            self.tb, step, "train", "depth_est_map", np.asarray(out["depth_pred"])
+            self.tb, step, "train", "depth_est_map", np.asarray(out["depth_pred"]),
+            num_images=ni,
         )
         vis.tb_image(
             self.tb, step, "train", "depth_input_map",
-            np.asarray(batch["depth_input_map"]),
+            np.asarray(batch["depth_input_map"]), num_images=ni,
         )
 
     def vis_train_iter(self):

@@ -948,21 +948,23 @@ class Runner(RunnerBase):
                 lambda v, b: model.apply(v, b, train=False, with_supervision=False)
             )
         out = self._viz_fwd(self.variables(), model_batch(batch))
+        ni = tuple((self.opt.get("tb") or {}).get("num_images") or (4, 8))
         vis.tb_image(
             self.tb, step, "train", "image_input_map",
-            np.asarray(batch["rgb_input_map"]),
+            np.asarray(batch["rgb_input_map"]), num_images=ni,
         )
         vis.tb_image(
             self.tb, step, "train", "mask_input_map",
-            np.asarray(batch["mask_input_map"]),
+            np.asarray(batch["mask_input_map"]), num_images=ni,
         )
         vis.tb_image(
-            self.tb, step, "train", "depth_est_map", np.asarray(out["depth_pred"])
+            self.tb, step, "train", "depth_est_map", np.asarray(out["depth_pred"]),
+            num_images=ni,
         )
         if "depth_input_map" in batch:
             vis.tb_image(
                 self.tb, step, "train", "depth_input_map",
-                np.asarray(batch["depth_input_map"]),
+                np.asarray(batch["depth_input_map"]), num_images=ni,
             )
 
 

@@ -62,20 +62,28 @@ def dump_depths(output_path, idx, name, depths, masks=None, rescale=False, folde
         plt.imsave(os.path.join(out_dir, f"{i}_{name}.png"), depth.squeeze(), cmap="viridis")
 
 
-def tb_image(tb, step, split, name, images, from_range=(0, 1), num_rows=4):
-    """Log an image grid to TensorBoard (reference util_vis.py:20-39)."""
+def tb_image(tb, step, split, name, images, from_range=(0, 1), num_images=(4, 8)):
+    """Log an image grid to TensorBoard (reference util_vis.py:20-39).
+
+    ``num_images = [num_H, num_W]`` caps the grid at the first
+    ``num_H * num_W`` batch rows and lays them out row-major with ``num_W``
+    columns — the ``opt.tb.num_images`` semantics of the reference
+    (options/shape.yaml ``tb:`` block; util_vis.py:28-35 make_grid nrow).
+    """
     if tb is None:
         return
+    num_H, num_W = num_images
     lo, hi = from_range
-    images = np.clip((np.asarray(images, np.float32) - lo) / (hi - lo), 0, 1)
+    images = np.asarray(images, np.float32)[: num_H * num_W]
+    images = np.clip((images - lo) / (hi - lo), 0, 1)
     if images.shape[-1] == 1:
         images = np.repeat(images, 3, axis=-1)
     B, H, W, C = images.shape
-    rows = min(num_rows, B)
-    cols = -(-B // rows)
+    cols = min(num_W, B)
+    rows = -(-B // cols)
     grid = np.zeros((rows * H, cols * W, C), np.float32)
     for i in range(B):
-        r, c = i % rows, i // rows
+        r, c = i // cols, i % cols
         grid[r * H : (r + 1) * H, c * W : (c + 1) * W] = images[i]
     tb.add_image(f"{split}/{name}", grid, step, dataformats="HWC")
 
