@@ -98,3 +98,47 @@ def test_generated_tree_loads_through_synthetic_dataset(tmp_path):
 
     val = SyntheticDataset(opt, split="val")
     assert len(val) == 5
+
+
+def test_holdout_objects_are_val_only(tmp_path):
+    """holdout_objects writes per-object ho{i} categories whose views are ALL
+    val (empty train list): training never sees them, evaluation scores them
+    per category — the zero-shot split scripts/generalize_e2e.py trains."""
+    from zeroshape_tpu.config import Config
+    from zeroshape_tpu.data.synthetic import SyntheticDataset
+
+    H = 32
+    analytic.generate_dataset(
+        str(tmp_path), n_objects=3, n_views=3, H=H, n_pc_points=128,
+        n_sdf_points=256, val_views=1, holdout_objects=2,
+    )
+    opt = Config(
+        {
+            "H": H, "W": H, "seed": 0,
+            "data": {
+                "root": str(tmp_path), "num_workers": 0, "bgcolor": 1,
+                "synthetic": {"subset": "analytic", "percentage": 1},
+            },
+            "training": {"n_sdf_points": 64},
+        }
+    )
+    tr = SyntheticDataset(opt, split="train")
+    va = SyntheticDataset(opt, split="val")
+    # train: only the shared category, 3 objects x 2 non-val views
+    assert {e[1] for e in tr.list} == {"prim"}
+    assert len(tr) == 3 * 2
+    # val: 1 view per seen object + ALL 3 views of each held-out object
+    cats = {e[1] for e in va.list}
+    assert cats == {"prim", "ho0", "ho1"}
+    assert sum(1 for e in va.list if e[1] == "prim") == 3
+    for ho in ("ho0", "ho1"):
+        assert sum(1 for e in va.list if e[1] == ho) == 3
+    # held-out object names never appear in the train entries
+    ho_objects = {e[2] for e in va.list if e[1].startswith("ho")}
+    assert ho_objects.isdisjoint({e[2] for e in tr.list})
+    # every category loads end to end (paths resolve, sample keys intact)
+    for idx, e in enumerate(va.list):
+        if e[1] == "ho1":
+            s = va[idx]
+            assert s["rgb_input_map"].shape == (H, H, 3)
+            break
