@@ -157,6 +157,24 @@ def test_stage_from_orbax_depth_checkpoint(tmp_path, depth_state, shape_state_sh
         assert np.all(leaf == 0)
 
 
+def test_stage_accepts_relative_orbax_path(
+    tmp_path, depth_state, shape_state_shapes, monkeypatch
+):
+    """Configs naturally carry run-relative paths (pretrain.depth:
+    output/depth/.../best.ckpt); orbax requires absolute directories, so the
+    loader must abspath — a relative path crashed the round-5 staged run."""
+    ckpt.save_checkpoint(
+        str(tmp_path), depth_state, ep=3, it=100, best_val=0.5, best_ep=3, latest=True
+    )
+    monkeypatch.chdir(tmp_path)
+    state = _state_from(shape_state_shapes, fill="zeros")
+    out = ckpt.stage_pretrained(
+        state, _shape_opt(pretrain_depth="latest.ckpt"), graph="shape",
+        log=lambda *a: None,
+    )
+    assert _trees_equal(out.params["dpt_depth"], depth_state.params["dpt_depth"])
+
+
 def _fabricate_torch_depth_sd():
     """Torch state dict with the depth graph's key layout and matching shapes."""
     from tests.test_checkpoint import record_mapping

@@ -412,7 +412,9 @@ def _load_pretrain_subtrees(path, graph, keys):
             "run). Unset the config key to train from scratch explicitly."
         )
     if os.path.isdir(path):
-        payload = _ckptr().restore(path)
+        # orbax/tensorstore requires an absolute directory; configs naturally
+        # carry run-relative paths like output/depth/depth_gen/best.ckpt
+        payload = _ckptr().restore(os.path.abspath(path))
         params_all = payload.get("params", {})
         stats_all = payload.get("batch_stats", {}) or {}
         missing = [k for k in keys if k not in params_all]
