@@ -35,20 +35,31 @@ CAPACITY = 4096  # refined-cell budget; overflow reported on stderr
 # below with the real thing (a trained BCE occupancy field and its real
 # active-cell count). BENCH_CKPT overrides; otherwise the analytic-overfit
 # run's best checkpoint is picked up automatically.
-_DEFAULT_CKPT = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "output/shape/shape_overfit/best.ckpt"
-)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# Preference order: explicit override, then whichever trained run exists on
+# disk (the overfit and the held-out-generalization recipes both produce
+# saturated occupancy fields; either makes the bench realistic).
+_CKPT_CANDIDATES = [
+    os.path.join(_REPO, "output/shape/shape_overfit/best.ckpt"),
+    os.path.join(_REPO, "output/shape/shape_gen_staged/best.ckpt"),
+    os.path.join(_REPO, "output/shape/shape_gen/best.ckpt"),
+]
 
 
 def _find_ckpt():
-    path = os.environ.get("BENCH_CKPT") or _DEFAULT_CKPT
-    return path if os.path.isdir(path) else None
+    env = os.environ.get("BENCH_CKPT")
+    for path in [env] if env else _CKPT_CANDIDATES:
+        if path and os.path.isdir(path):
+            return path
+    return None
 
 
 def _real_sample(H):
     """An analytic-scene rgb/mask at the bench resolution, if the generated
-    overfit data is on disk; None otherwise."""
+    overfit or generalization data is on disk; None otherwise."""
     root = os.environ.get("BENCH_DATA", "/tmp/overfit_data")
+    if not os.path.isdir(os.path.join(root, "train_data")):
+        root = "/tmp/gen_data"
     if not os.path.isdir(os.path.join(root, "train_data")):
         return None
     try:

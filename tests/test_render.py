@@ -1,0 +1,108 @@
+"""Device-side turntable renderer (ops/render.py): geometry, hidden-surface
+removal, and the vis.dump_meshes_viz integration that replaces the
+reference's pyrender turntables (reference util_vis.py:348-405)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from zeroshape_tpu.ops.render import pad_mesh, render_turntable
+
+
+def _cube_mesh(half=0.8):
+    """12-triangle unit cube centered at the origin."""
+    s = half
+    v = np.array(
+        [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
+        np.float32,
+    )
+    # two triangles per face, indexing the (x,y,z) binary corner layout
+    quads = [
+        (0, 1, 3, 2), (4, 6, 7, 5),  # x- x+
+        (0, 4, 5, 1), (2, 3, 7, 6),  # y- y+
+        (0, 2, 6, 4), (1, 5, 7, 3),  # z- z+
+    ]
+    f = []
+    for a, b, c, d in quads:
+        f += [[a, b, c], [a, c, d]]
+    return v, np.asarray(f, np.int32)
+
+
+def test_turntable_shapes_and_background():
+    v, f = _cube_mesh()
+    vp, fp = pad_mesh(v, f, granule=64)
+    frames = np.asarray(
+        render_turntable(vp, fp, jax.random.PRNGKey(0), n_views=4,
+                         image_size=96, n_points=1 << 14)
+    )
+    assert frames.shape == (4, 96, 96, 3) and frames.dtype == np.uint8
+    # corners stay background white; the center hits the cube
+    assert (frames[:, 2, 2] == 255).all()
+    center = frames[:, 40:56, 40:56]
+    assert (center.reshape(4, -1, 3) < 250).any(axis=1).all()
+    # the orbit actually moves: consecutive views differ
+    assert (frames[0] != frames[1]).any()
+
+
+def test_turntable_padding_invariance():
+    """Bucketed padding must not change what is drawn (padded faces are
+    degenerate and can never be sampled)."""
+    v, f = _cube_mesh()
+    a = np.asarray(render_turntable(*pad_mesh(v, f, granule=64),
+                                    jax.random.PRNGKey(1), n_views=2,
+                                    image_size=64, n_points=1 << 13))
+    b = np.asarray(render_turntable(*pad_mesh(v, f, granule=512),
+                                    jax.random.PRNGKey(1), n_views=2,
+                                    image_size=64, n_points=1 << 13))
+    # same stratified draw -> same face ids -> identical images
+    assert (a == b).all()
+
+
+def test_zbuffer_prefers_near_surface():
+    """Two stacked fronto-parallel quads: the near one (flat, bright under
+    the headlight) must win the packed scatter-min over the far one."""
+    # near quad at y=-0.5 (toward the azim-0 camera); far quad tilted 45°
+    # (y = 0.5 + 0.5 z, z in [-0.6, 0.6] keeps it strictly behind) so its
+    # normal -- and therefore its shade -- differs from the near quad's
+    def quad(y, tilt=0.0):
+        return np.array(
+            [[-0.6, y + tilt * -0.6, -0.6], [0.6, y + tilt * -0.6, -0.6],
+             [0.6, y + tilt * 0.6, 0.6], [-0.6, y + tilt * 0.6, 0.6]],
+            np.float32,
+        )
+
+    v = np.concatenate([quad(-0.5), quad(0.5, tilt=0.5)])
+    f = np.asarray(
+        [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32
+    )
+    vp, fp = pad_mesh(v, f, granule=64)
+    img = np.asarray(
+        render_turntable(vp, fp, jax.random.PRNGKey(2), n_views=1,
+                         image_size=96, n_points=1 << 14, elev_deg=0.0)
+    )[0]
+    # single-quad render for the expected front appearance
+    vf, ff = pad_mesh(quad(-0.5), f[:2], granule=64)
+    front = np.asarray(
+        render_turntable(vf, ff, jax.random.PRNGKey(2), n_views=1,
+                         image_size=96, n_points=1 << 14, elev_deg=0.0)
+    )[0]
+    hit = (img < 250).any(-1) & (front < 250).any(-1)
+    assert hit.mean() > 0.05
+    # where both hit, the stacked render matches the front-only render.
+    # Tolerance covers silhouette-boundary splat noise (the front-only pass
+    # puts ALL samples on the near quad, so its 2x2 footprint reaches a few
+    # edge pixels the stacked pass misses); a broken z-buffer would mismatch
+    # on ~100% of pixels since the tilted far quad shades differently.
+    mismatch = (img[hit] != front[hit]).any(-1).mean()
+    assert mismatch < 0.05, f"far quad bled through on {mismatch:.1%} of pixels"
+
+
+def test_dump_meshes_viz_writes_gifs(tmp_path):
+    from zeroshape_tpu import vis
+
+    v, f = _cube_mesh()
+    vis.dump_meshes_viz(str(tmp_path), np.asarray([3]), "mesh_viz",
+                        [(v, f)], folder="dump", n_views=3, image_size=64)
+    out = tmp_path / "dump" / "3_mesh_viz.gif"
+    assert out.exists() and out.stat().st_size > 0

@@ -797,14 +797,12 @@ class Runner(RunnerBase):
         vis.dump_meshes(opt.output_path, idx, "mesh", meshes, folder=folder)
         # turntable GIFs (reference dumps one per eval sample through
         # pyrender, shape_engine.py:579 -> util_vis.py:348-405). The
-        # matplotlib renderer here is much slower, so final eval defaults to
-        # the samples the HTML gallery shows (every 10th, matching
-        # create_gif_html's skip_every=10); eval.dump_mesh_viz=True forces
-        # every sample, False disables (documented in docs/PARITY.md).
+        # device-side splat renderer (ops/render.py) makes per-sample
+        # turntables affordable, so final eval covers EVERY sample like the
+        # reference; eval.dump_mesh_viz=False disables, True also covers
+        # in-training validation dumps.
         dump_viz = opt.eval.get("dump_mesh_viz")
-        if dump_viz is None and not train:
-            sel = [b for b in range(B0) if int(idx[b]) % 10 == 0]
-        elif dump_viz:
+        if (dump_viz is None and not train) or dump_viz:
             sel = list(range(B0))
         else:
             sel = []
