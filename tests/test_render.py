@@ -31,9 +31,9 @@ def _cube_mesh(half=0.8):
 
 def test_turntable_shapes_and_background():
     v, f = _cube_mesh()
-    vp, fp = pad_mesh(v, f, granule=64)
+    tri = pad_mesh(v, f, min_bucket=64)
     frames = np.asarray(
-        render_turntable(vp, fp, jax.random.PRNGKey(0), n_views=4,
+        render_turntable(tri, jax.random.PRNGKey(0), n_views=4,
                          image_size=96, n_points=1 << 14)
     )
     assert frames.shape == (4, 96, 96, 3) and frames.dtype == np.uint8
@@ -49,10 +49,10 @@ def test_turntable_padding_invariance():
     """Bucketed padding must not change what is drawn (padded faces are
     degenerate and can never be sampled)."""
     v, f = _cube_mesh()
-    a = np.asarray(render_turntable(*pad_mesh(v, f, granule=64),
+    a = np.asarray(render_turntable(pad_mesh(v, f, min_bucket=64),
                                     jax.random.PRNGKey(1), n_views=2,
                                     image_size=64, n_points=1 << 13))
-    b = np.asarray(render_turntable(*pad_mesh(v, f, granule=512),
+    b = np.asarray(render_turntable(pad_mesh(v, f, min_bucket=512),
                                     jax.random.PRNGKey(1), n_views=2,
                                     image_size=64, n_points=1 << 13))
     # same stratified draw -> same face ids -> identical images
@@ -76,15 +76,15 @@ def test_zbuffer_prefers_near_surface():
     f = np.asarray(
         [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32
     )
-    vp, fp = pad_mesh(v, f, granule=64)
     img = np.asarray(
-        render_turntable(vp, fp, jax.random.PRNGKey(2), n_views=1,
+        render_turntable(pad_mesh(v, f, min_bucket=64),
+                         jax.random.PRNGKey(2), n_views=1,
                          image_size=96, n_points=1 << 14, elev_deg=0.0)
     )[0]
     # single-quad render for the expected front appearance
-    vf, ff = pad_mesh(quad(-0.5), f[:2], granule=64)
     front = np.asarray(
-        render_turntable(vf, ff, jax.random.PRNGKey(2), n_views=1,
+        render_turntable(pad_mesh(quad(-0.5), f[:2], min_bucket=64),
+                         jax.random.PRNGKey(2), n_views=1,
                          image_size=96, n_points=1 << 14, elev_deg=0.0)
     )[0]
     hit = (img < 250).any(-1) & (front < 250).any(-1)

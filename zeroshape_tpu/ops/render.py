@@ -10,7 +10,7 @@ bottleneck with a TPU-friendly formulation: the mesh surface is sampled
 area-uniformly (inverse-CDF over face areas), every view's points are
 rotated by one batched matmul, and hidden-surface removal is a single
 ``scatter-min`` over a packed (depth, shade) integer key -- all inside one
-jitted program with static shapes (vertex/face counts are bucketed by the
+jitted program with static shapes (the face count is bucketed by the
 caller). All views of a sample render in one device call; the host only
 encodes the GIF.
 
@@ -54,13 +54,12 @@ def _orbit_rotations(n_views, elev_deg):
     return jnp.einsum("ij,njk->nik", rx, rz)
 
 
-def _sample_surface(verts, faces, n_points, key):
+def _sample_surface(tri, n_points, key):
     """Area-uniform surface points + their face normals ([N,3], [N,3]).
 
-    Padded faces ([0,0,0] or any repeated index) have zero area and zero
-    probability of being drawn, so callers can bucket ``faces`` freely.
+    Padded (degenerate, e.g. all-zero) triangles have zero area and zero
+    probability of being drawn, so callers can bucket ``tri`` freely.
     """
-    tri = verts[faces]  # [F, 3, 3]
     e1 = tri[:, 1] - tri[:, 0]
     e2 = tri[:, 2] - tri[:, 0]
     cr = jnp.cross(e1, e2)
@@ -74,7 +73,7 @@ def _sample_surface(verts, faces, n_points, key):
     u = (jnp.arange(n_points, dtype=jnp.float32)
          + jax.random.uniform(ku, (n_points,))) / n_points
     fid = jnp.searchsorted(cdf, u * total)
-    fid = jnp.clip(fid, 0, faces.shape[0] - 1)
+    fid = jnp.clip(fid, 0, tri.shape[0] - 1)
     r = jax.random.uniform(kb, (n_points, 2))
     s = jnp.sqrt(r[:, :1])
     bary = jnp.concatenate([1.0 - s, s * (1.0 - r[:, 1:]), s * r[:, 1:]], axis=-1)
@@ -86,19 +85,21 @@ def _sample_surface(verts, faces, n_points, key):
     jax.jit, static_argnames=("n_views", "image_size", "n_points", "elev_deg")
 )
 def render_turntable(
-    verts, faces, key, *, n_views=15, image_size=320, n_points=1 << 18,
+    tri, key, *, n_views=15, image_size=320, n_points=1 << 18,
     elev_deg=15.0,
 ):
     """Render ``n_views`` orbit frames of a mesh: [n_views, H, W, 3] uint8.
 
-    ``verts`` must be pre-normalized by the caller (centered, max-abs 1 --
-    see ``vis.dump_meshes_viz``); ``verts``/``faces`` may be padded to any
-    static bucket size (pad faces with zeros).
+    ``tri`` is the gathered triangle soup [F, 3, 3] (``pad_mesh``), with
+    coordinates pre-normalized by the caller (centered, max-abs 1 -- see
+    ``vis.dump_meshes_viz``). F may be padded to any static bucket size
+    (pad with degenerate all-zero triangles); the face count is the ONLY
+    shape-static dimension, so jit recompiles are bounded by the number of
+    power-of-two buckets, not (vertex, face) combinations -- each compile
+    costs tens of seconds through the remote-compile tunnel.
     """
     H = W = image_size
-    pts, nrm = _sample_surface(
-        verts.astype(jnp.float32), faces.astype(jnp.int32), n_points, key
-    )
+    pts, nrm = _sample_surface(tri.astype(jnp.float32), n_points, key)
     rots = _orbit_rotations(n_views, elev_deg)  # [V, 3, 3]
 
     def one_view(R):
@@ -136,16 +137,16 @@ def render_turntable(
     return jax.vmap(one_view)(rots)
 
 
-def pad_mesh(verts, faces, granule=1 << 14):
-    """Pad a host mesh to the next bucket so jit recompiles are bounded:
-    vertex/face counts round up to a multiple of ``granule`` (padded faces
-    are degenerate [0,0,0] triangles with zero sampling probability)."""
-    V = max(len(verts), 3)
-    F = max(len(faces), 1)
-    Vp = -(-V // granule) * granule
-    Fp = -(-F // granule) * granule
-    vp = np.zeros((Vp, 3), np.float32)
-    vp[: len(verts)] = verts
-    fp = np.zeros((Fp, 3), np.int32)
-    fp[: len(faces)] = faces
-    return vp, fp
+def pad_mesh(verts, faces, min_bucket=1 << 14):
+    """Gather the triangle soup [F, 3, 3] and pad F to the next power-of-two
+    bucket (>= ``min_bucket``) with degenerate all-zero triangles (zero area,
+    zero sampling probability), so the renderer sees a handful of static
+    shapes across a whole eval set."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64).reshape(-1, 3)
+    tri = (verts[faces] if len(faces) else np.zeros((0, 3, 3), np.float32))
+    F = max(len(tri), 1)
+    Fp = max(min_bucket, 1 << (F - 1).bit_length())
+    out = np.zeros((Fp, 3, 3), np.float32)
+    out[: len(tri)] = tri
+    return out

@@ -270,9 +270,9 @@ def dump_meshes_viz(output_path, idx, name, meshes, folder="dump", n_views=15, i
             v = np.asarray(verts, np.float32)
             v = v - v.mean(0)
             v = v / (np.abs(v).max() + 1e-8)
-            vp, fp = pad_mesh(v, np.asarray(faces))
+            tri = pad_mesh(v, np.asarray(faces))
             frames = render_turntable(
-                vp, fp, jax.random.PRNGKey(int(i)),
+                tri, jax.random.PRNGKey(int(i)),
                 n_views=n_views, image_size=image_size,
             )
             frames = list(np.asarray(frames))
