@@ -30,12 +30,14 @@ pytestmark = [
     ),
 ]
 
-# Stored bounds (calibrated on the 8-device CPU mesh, seed 0): random init
-# evaluates at CD 0.1554 on this dataset; 24 trained epochs reach 0.0950.
-# The bound sits 23% below the random floor and 26% above the trained value,
-# so a pipeline regression that stops learning (or corrupts eval) fails while
-# run-to-run noise does not.
-CD_BOUND = 0.12
+# Stored bound, calibrated round 5 (scripts/calibrate_gate.py): on the real
+# chip (bf16) 3 seeds reach best CD [0.0711, 0.0813, 0.0585] -> mean + 3*sigma
+# = 0.1047; on the 8-device CPU mesh (fp32) seed 0 reaches 0.0950 (documented
+# round 4, reproduced round 5). The bound 0.11 covers the chip 3-sigma bound
+# and the CPU point with headroom, sits 29% below the 0.155 random-init floor,
+# and fails any regression that stops the pipeline learning while clearing
+# measured run-to-run draw variance.
+CD_BOUND = 0.11
 EPOCHS = 24
 
 
