@@ -29,7 +29,8 @@ _enable_compilation_cache()  # repeat bench launches skip the remote compile
 BASELINE_SECONDS = 1.0  # north-star target from BASELINE.json
 VOX_RES = 128
 NUM_POINTS = 10000
-CAPACITY = 4096  # refined-cell budget; overflow reported on stderr
+CAPACITY = 4096  # refined-cell budget == engine default (round-5 calibrated
+# on trained fields: peak measured demand 2533); overflow reported on stderr
 
 # Trained weights, when available, replace the x25 logit-sharpening proxy
 # below with the real thing (a trained BCE occupancy field and its real

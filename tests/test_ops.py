@@ -288,9 +288,10 @@ def test_brute_force_exact_coarse_flag():
 def test_hier_capacity_helpers():
     from zeroshape_tpu.metrics.eval3d import hier_decode_saves_work, resolve_hier_capacity
 
-    # defaults scale with vox_res and always save work
-    assert resolve_hier_capacity(128) == 32768 // 4
-    assert resolve_hier_capacity(64) == 4096 // 4
+    # defaults scale with vox_res and always save work (1/8 of coarse cells,
+    # calibrated round 5: measured field demand peaks at 2533 @ vox 128)
+    assert resolve_hier_capacity(128) == 32768 // 8
+    assert resolve_hier_capacity(64) == 4096 // 8
     assert hier_decode_saves_work(128)
     assert hier_decode_saves_work(64)
     # the vox-64 + 4096-capacity combination that would do MORE work than

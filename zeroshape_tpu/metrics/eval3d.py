@@ -95,14 +95,20 @@ def _upsample_nearest(level_c, factor):
 def resolve_hier_capacity(vox_res, capacity=None, factor=4):
     """The refined-cell budget occupancy_grid_hierarchical actually uses.
 
-    None -> 1/4 of the coarse cells (at which the hierarchical decode does
-    ~2x less decoder work than dense even in the worst case); always clamped
-    to the cell count. Shared with callers that report overflow so the
-    warning threshold matches the decode.
+    None -> 1/8 of the coarse cells (4096 at vox 128), clamped to the cell
+    count. Calibrated round 5 on trained fields: the margin test's raw
+    demand across 2x74 held-out-object reconstructions peaked at 2533 cells
+    (p95 2209), and the Run-A overfit field also fit in 4096
+    (BASELINE.md hier A/B) - so 1/8 keeps >1.6x headroom over every field
+    measured while halving the fine-pass work of the old 1/4 default, and
+    the headline bench capacity now IS the engine default. Overflow is
+    still warned (validation) or raised (metric runs) downstream. Shared
+    with callers that report overflow so the warning threshold matches the
+    decode.
     """
     nc = vox_res // factor
     if capacity is None:
-        capacity = max(256, nc**3 // 4)
+        capacity = max(256, nc**3 // 8)
     return max(1, min(capacity, nc**3))
 
 
