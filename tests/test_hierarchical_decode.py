@@ -145,6 +145,24 @@ def test_return_stats_counts_active_cells():
     assert 0 < n < (VOX // 4) ** 3
 
 
+def test_n_active_is_preclamp_demand():
+    """n_active reports the margin test's RAW demand, independent of the
+    capacity clamp — the property scripts/measure_hier.py (the round-5
+    capacity calibration) relies on to measure demand at default capacity."""
+
+    def decode_fn(pts):
+        return 25.0 * (0.9 - jnp.linalg.norm(pts, axis=-1))
+
+    counts = []
+    for cap in (2, (VOX // 4) ** 3):
+        _, n_active = eval3d.occupancy_grid_hierarchical(
+            decode_fn, VOX, batch_size=1, capacity=cap,
+            tile_points=S * S, return_stats=True,
+        )
+        counts.append(int(np.asarray(n_active)[0]))
+    assert counts[0] == counts[1] > 2  # same demand even when clamped to 2
+
+
 def test_engine_warns_on_capacity_overflow(capsys):
     """Runner._check_hier_overflow prints a warning when cells were dropped."""
     from zeroshape_tpu.config import Config
